@@ -1,0 +1,101 @@
+"""Public rendering API: rasterize + channel decoding.
+
+``render`` mirrors the reference wrapper (ref gaussian_renderer/__init__.py:
+11-93): it produces rend_alpha / rend_normal (world frame, alpha-normalized)
+/ rend_dist / surf_depth (expected-median blend) / surf_normal (from depth
+finite differences) plus radii/visibility, from raw rasterizer channels.
+
+Backend dispatch: "jnp" = golden O(N*P) renderer, "pallas" = tiled TPU
+kernels, "auto" = pallas on TPU else jnp.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ...geometry import se3, spherical
+from .jnp_ref import rasterize_jnp
+
+
+class RenderParams(NamedTuple):
+    """Static rasterizer knobs (hashable: usable as a jit static arg)."""
+    height: int
+    width: int
+    backend: str = "auto"
+    chunk: int = 256
+    tile_h: int = 8
+    tile_w: int = 128
+    tile_list_capacity: int = 4096
+
+
+def _resolve_backend(backend: str) -> str:
+    if backend != "auto":
+        return backend
+    try:
+        return "pallas" if jax.default_backend() == "tpu" else "jnp"
+    except Exception:
+        return "jnp"
+
+
+def rasterize(xyz, scaling, rotation, opacity, T_cw, K, params: RenderParams):
+    """Dispatch to a rasterizer backend; returns the raw channel dict."""
+    backend = _resolve_backend(params.backend)
+    if backend == "jnp":
+        return rasterize_jnp(xyz, scaling, rotation, opacity, T_cw, K,
+                             params.height, params.width, params.chunk)
+    if backend == "pallas":
+        from .pallas_raster import rasterize_pallas
+        return rasterize_pallas(xyz, scaling, rotation, opacity, T_cw, K,
+                                params)
+    raise ValueError(f"unknown rasterizer backend {backend!r}")
+
+
+def render(xyz, scaling, rotation, opacity, T_cw, K,
+           params: RenderParams, depth_ratio: float = 0.0):
+    """Full render + decode (ref gaussian_renderer/__init__.py:40-93).
+
+    Args are *activated* surfel parameters (scaling positive, opacity in
+    (0,1), rotation approx. unit quaternion) in the model frame, plus the
+    model->camera transform T_cw and spherical intrinsics K.
+
+    Returns a dict:
+      rend_alpha  [H, W]
+      rend_normal [H, W, 3]  world(model)-frame, alpha-normalized
+      rend_dist   [H, W]
+      surf_depth  [H, W]
+      surf_normal [H, W, 3]  from depth finite differences, x alpha
+      rend_median [H, W]
+      radii       [N]
+      visibility_filter [N] bool
+    """
+    chans = rasterize(xyz, scaling, rotation, opacity, T_cw, K, params)
+    alpha = chans["alpha"]
+    mask = alpha > 0.0
+    safe_alpha = jnp.where(mask, alpha, 1.0)
+
+    # camera->world rotation for the normal channel (ref :57-62)
+    R_wc = T_cw[:3, :3].T
+    normal_cam = chans["normal_sum"] / safe_alpha[..., None]
+    rend_normal = jnp.where(mask[..., None],
+                            normal_cam @ R_wc.T, 0.0)
+
+    depth_expected = jnp.where(mask, chans["depth_sum"] / safe_alpha, 0.0)
+    surf_depth = depth_expected * (1.0 - depth_ratio) + \
+        chans["median"] * depth_ratio
+
+    T_wc = se3.invert_T(T_cw)
+    surf_normal = spherical.depth_to_normal(surf_depth, K, T_wc)
+    surf_normal = surf_normal * alpha[..., None]
+
+    return {
+        "rend_alpha": alpha,
+        "rend_normal": rend_normal,
+        "rend_dist": chans["dist"],
+        "rend_median": chans["median"],
+        "surf_depth": surf_depth,
+        "surf_normal": surf_normal,
+        "radii": chans["radii"],
+        "visibility_filter": chans["radii"] > 0,
+    }
