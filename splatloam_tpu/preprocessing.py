@@ -1,0 +1,113 @@
+"""Preprocessor: raw point cloud -> Frame (range/normal/valid images).
+
+Re-implements ref scene/preprocessing.py:13-118 on-device: per-cloud optimal
+spherical intrinsics, z-buffered projection via ops.projection (replacing
+the C++ pyprojections LUT), normals either toward-sensor (paper sec 3.3.1
+default) or PCA via a scipy KD-tree (replacing Open3D).  Clouds are padded
+to power-of-two buckets so the jitted projection recompiles only a handful
+of times per run.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Configuration
+from .geometry import spherical
+from .logging_utils import get_logger
+from .model.camera import make_camera
+from .model.frame import Frame
+from .ops import projection
+
+logger = get_logger("preprocessing")
+
+
+def _bucket_size(n: int, minimum: int = 4096) -> int:
+    size = minimum
+    while size < n:
+        size *= 2
+    return size
+
+
+class Preprocessor:
+    def __init__(self, cfg: Configuration):
+        self.cfg = cfg
+
+    def __call__(self, cloud: np.ndarray, timestamp: float,
+                 gt_pose: np.ndarray | None = None) -> Frame:
+        """cloud: [N, 3] float32; gt_pose: optional [4, 4]."""
+        pcfg = self.cfg.preprocessing
+        cloud = np.asarray(cloud, np.float32)
+        cloud = cloud[np.isfinite(cloud).all(axis=1)]
+        n = len(cloud)
+        padded = _bucket_size(n)
+        buf = np.zeros((padded, 3), np.float32)
+        buf[:n] = cloud
+        mask = np.zeros((padded,), bool)
+        mask[:n] = True
+
+        pts = jnp.asarray(buf)
+        pmask = jnp.asarray(mask)
+        K, vfov, hfov = spherical.spherical_intrinsics(
+            pts, pcfg.image_height, pcfg.image_width, valid=pmask)
+        depth, lut, valid = projection.build_range_image(
+            pts, pmask, K, pcfg.image_height, pcfg.image_width,
+            pcfg.depth_min, pcfg.depth_max)
+
+        # normal image: gather per-point normals through the LUT (ref :59-64)
+        normals = self.compute_normals(buf, np.asarray(mask))
+        lut_np = np.asarray(lut)
+        valid_np = np.asarray(valid)
+        normal_img = normals[np.clip(lut_np, 0, None)]
+        normal_img[~valid_np] = 0.0
+
+        camera = make_camera(K=K, depth=depth, normal=normal_img,
+                             valid=valid)
+        frame_pose = np.eye(4) if gt_pose is None else np.asarray(gt_pose)
+        return Frame(camera=camera, timestamp=timestamp,
+                     world_T_frame=frame_pose)
+
+    def compute_normals(self, cloud: np.ndarray,
+                        mask: np.ndarray) -> np.ndarray:
+        """Per-point normals (ref scene/preprocessing.py:85-118).
+
+        Default: unit vector toward the sensor.  Optional PCA estimation
+        uses a scipy KD-tree (radius-bounded KNN, oriented toward sensor).
+        """
+        pcfg = self.cfg.preprocessing
+        norms = np.linalg.norm(cloud, axis=1, keepdims=True)
+        toward = -cloud / np.maximum(norms, 1e-12)
+        if not pcfg.enable_normal_estimation:
+            if pcfg.enable_ground_segmentation:
+                raise NotImplementedError(
+                    "Ground segmentation still not implemented")
+            return toward.astype(np.float32)
+
+        from scipy.spatial import cKDTree
+        pts = cloud[mask]
+        if len(pts) < 10:
+            return toward.astype(np.float32)
+        tree = cKDTree(pts)
+        k = min(20, len(pts))
+        dist, idx = tree.query(pts, k=k, distance_upper_bound=0.5)
+        finite = np.isfinite(dist)
+        idx_safe = np.where(finite, idx, 0)
+        nbrs = pts[idx_safe]  # [M, k, 3]
+        w = finite[..., None].astype(np.float32)
+        cnt = np.maximum(w.sum(axis=1), 1.0)
+        mean = (nbrs * w).sum(axis=1) / cnt
+        centered = (nbrs - mean[:, None, :]) * w
+        cov = np.einsum("mki,mkj->mij", centered, centered) / cnt[..., None]
+        # smallest-eigenvector normal
+        _, vecs = np.linalg.eigh(cov)
+        normal = vecs[:, :, 0]
+        # orient toward sensor (ref :109)
+        flip = np.sign(np.sum(normal * (-pts), axis=1, keepdims=True))
+        flip[flip == 0] = 1.0
+        normal = normal * flip
+        out = toward.copy()
+        out[mask] = normal
+        if pcfg.enable_ground_segmentation:
+            raise NotImplementedError(
+                "Ground segmentation still not implemented")
+        return out.astype(np.float32)

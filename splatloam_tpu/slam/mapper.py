@@ -1,0 +1,325 @@
+"""Mapper: densify -> optimize -> prune, as jitted static-shape programs.
+
+Re-architects ref slam/mapper.py:20-233 for XLA:
+
+  * densify (ref :49-138): candidate mask from rendered alpha + optional
+    depth-error quantile; weighted sampling *without replacement* via
+    Gumbel-top-k (replaces torch.multinomial); back-projection; KNN scale
+    init; normal-aligned rotations; scatter into free surfel slots.
+  * optimize (ref :140-214): a single lax.scan over Adam iterations, each
+    sampling a keyframe from a padded [K_cap] stack with geometric replay
+    probabilities (ref utils/sampling_utils.py:10-19) and applying the
+    paper's losses Eq 15-17.
+  * prune (ref :216-233): mask-clear by opacity/scale thresholds.
+
+All three are built once per (image size, capacity) by ``MapperPrograms``;
+capacity growth triggers an amortized recompile.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Configuration
+from ..geometry import se3, spherical
+from ..logging_utils import get_logger
+from ..model import surfels as S
+from ..model.camera import Camera
+from ..model.frame import Frame
+from ..model.local_model import LocalModel
+from ..ops import knn
+from ..ops.rasterizer import RenderParams, render
+
+logger = get_logger("mapper")
+
+
+class KeyframeBatch(NamedTuple):
+    """Padded stack of keyframe cameras, leading dim [K_cap]."""
+    K: jax.Array       # [Kc, 3, 3]
+    T_cw: jax.Array    # [Kc, 4, 4]
+    depth: jax.Array   # [Kc, H, W]
+    valid: jax.Array   # [Kc, H, W] bool
+    log_probs: jax.Array  # [Kc] replay distribution (-inf padding)
+
+
+def sample_geometric_probs(n: int, last_kf_prob: float | None,
+                           kf_cap: int) -> np.ndarray:
+    """Keyframe replay distribution, padded to kf_cap.
+
+    Mirrors ref utils/sampling_utils.py:10-19 + slam/mapper.py:143-149:
+    P(kf i) proportional to (1-p)^(i-1) * p over the insertion-ordered list;
+    uniform when p is None/negative; delta when one keyframe.
+    """
+    if n == 1:
+        probs = np.array([1.0])
+    elif last_kf_prob is None or last_kf_prob < 0.0:
+        probs = np.full((n,), 1.0 / n)
+    else:
+        i = np.arange(1, n + 1, dtype=np.float64)
+        probs = (1.0 - last_kf_prob) ** (i - 1) * last_kf_prob
+        probs /= probs.sum()
+    out = np.zeros((kf_cap,), np.float32)
+    out[:n] = probs
+    return out
+
+
+class MapperPrograms:
+    """Jitted mapping programs specialized to (H, W, capacity)."""
+
+    def __init__(self, cfg: Configuration, height: int, width: int,
+                 capacity: int):
+        self.cfg = cfg
+        mc = cfg.mapping
+        oc = cfg.opt
+        cc = cfg.compute
+        self.height, self.width, self.capacity = height, width, capacity
+        self.params = RenderParams(
+            height=height, width=width, backend=cc.backend.value,
+            chunk=cc.chunk, tile_h=cc.tile_h, tile_w=cc.tile_w,
+            tile_list_capacity=cc.tile_list_capacity)
+        self.max_new = int(np.ceil(
+            max(mc.densify_percentage, 1e-3) * height * width)) + 1
+        self.hyper = S.AdamHyper(lr_xyz=oc.position_lr,
+                                 lr_scale=oc.scaling_lr,
+                                 lr_quat=oc.rotation_lr,
+                                 lr_opacity=oc.opacity_lr)
+        self._densify = jax.jit(partial(self._densify_impl),
+                                static_argnames=("initialize",))
+        self._optimize = jax.jit(self._optimize_impl)
+        self._prune = jax.jit(self._prune_impl)
+
+    # ------------------------------------------------------------------
+    # densify (ref slam/mapper.py:49-138)
+    # ------------------------------------------------------------------
+    def _densify_impl(self, surfels: S.Surfels, adam: S.AdamState,
+                      camera: Camera, key, *, initialize: bool):
+        mc = self.cfg.mapping
+        valid = camera.valid
+
+        if initialize:
+            densify_mask = valid
+        else:
+            pkg = render(surfels.params.xyz, surfels.scaling,
+                         surfels.rotation, surfels.opacity,
+                         camera.T_cw, camera.K, self.params,
+                         self.cfg.opt.depth_ratio)
+            mask_opacity = pkg["rend_alpha"] <= mc.densify_threshold_opacity
+            densify_mask = mask_opacity & valid
+            if mc.densify_threshold_egeom > 0.0:
+                est = pkg["surf_depth"]
+                geom_loss = jnp.abs(camera.depth - est) * valid
+                q95 = jnp.quantile(geom_loss, 0.95)
+                mask_depth = (est > camera.depth) & (geom_loss > q95)
+                densify_mask = densify_mask | mask_depth
+
+        n_cand = jnp.sum(densify_mask)
+        n_samples = (mc.densify_percentage * n_cand).astype(jnp.int32)
+
+        grad = spherical.depth_gradient(camera.depth, valid)
+        grad = grad / jnp.maximum(jnp.max(grad), 1e-12)
+        weight = jnp.where(densify_mask, grad, 0.0).reshape(-1)
+        # no-op conditions (ref :82-91): <2 samples or all-zero weights
+        do_densify = (n_samples >= 2) & (jnp.sum(weight) > 1e-5)
+        n_samples = jnp.minimum(n_samples,
+                                jnp.sum(weight > 0).astype(jnp.int32))
+        n_samples = jnp.where(do_densify, n_samples, 0)
+
+        # Gumbel-top-k == weighted sampling without replacement
+        g = jax.random.gumbel(key, weight.shape)
+        scores = jnp.where(weight > 0, jnp.log(weight) + g, -jnp.inf)
+        _, flat_idx = jax.lax.top_k(scores, self.max_new)
+        chosen = jnp.arange(self.max_new) < jnp.minimum(n_samples,
+                                                        self.max_new)
+
+        pts_model = spherical.depth_to_points(
+            camera.depth, camera.K, se3.invert_T(camera.T_cw))
+        new_xyz = pts_model.reshape(-1, 3)[flat_idx]
+
+        # scale init: 3-NN over (new + existing) points (ref :113-117)
+        all_pts = jnp.concatenate([new_xyz, surfels.params.xyz], axis=0)
+        all_mask = jnp.concatenate([chosen, surfels.active])
+        d2 = knn.mean_sq_dist_knn(all_pts, all_mask)[:self.max_new]
+        d2 = jnp.clip(d2, 1e-7, mc.opt_scaling_max ** 2)
+        new_log_scale = jnp.tile(
+            0.5 * jnp.log(d2)[:, None], (1, 2))  # log(sqrt(d2))
+
+        # rotation init: sensor-frame normals -> model frame (ref :121-124)
+        R_mf = camera.T_cw[:3, :3].T
+        n_img = camera.normal.reshape(-1, 3)[flat_idx]
+        n_model = n_img @ R_mf.T
+        # guard degenerate normals for padding rows
+        n_norm = jnp.linalg.norm(n_model, axis=-1, keepdims=True)
+        n_model = jnp.where(n_norm > 1e-6, n_model,
+                            jnp.array([0.0, 0.0, 1.0]))
+        new_quat = se3.quat_from_normal(n_model)
+
+        new_logit_op = jnp.full((self.max_new,),
+                                S.inverse_sigmoid(0.9), jnp.float32)
+        new_params = S.SurfelParams(xyz=new_xyz,
+                                    log_scale=new_log_scale,
+                                    quat=new_quat,
+                                    logit_opacity=new_logit_op)
+        surfels, adam, n_written = S.insert_surfels(
+            surfels, adam, new_params, n_samples)
+
+        sampled_mask = jnp.zeros((self.height * self.width,), bool)
+        sampled_mask = sampled_mask.at[flat_idx].set(chosen)
+        return surfels, adam, n_written, sampled_mask.reshape(
+            self.height, self.width)
+
+    # ------------------------------------------------------------------
+    # optimize (ref slam/mapper.py:140-214)
+    # ------------------------------------------------------------------
+    def _loss(self, params: S.SurfelParams, active, kf: KeyframeBatch,
+              kf_idx):
+        mc = self.cfg.mapping
+        cam_K = kf.K[kf_idx]
+        cam_T = kf.T_cw[kf_idx]
+        gt_depth = kf.depth[kf_idx]
+        valid = kf.valid[kf_idx]
+
+        scaling = jnp.exp(params.log_scale)
+        opacity = jax.nn.sigmoid(params.logit_opacity) * active
+        pkg = render(params.xyz, scaling, params.quat, opacity,
+                     cam_T, cam_K, self.params, self.cfg.opt.depth_ratio)
+
+        est_alpha = pkg["rend_alpha"]
+        est_depth = pkg["surf_depth"]
+        est_normal = pkg["rend_normal"]
+        surf_normal = pkg["surf_normal"]
+        validf = valid.astype(jnp.float32)
+        n_valid = jnp.maximum(jnp.sum(validf), 1.0)
+
+        # depth L1: mean over ALL pixels of |valid * (est - gt)| (ref :174)
+        geom_l1 = jnp.mean(jnp.abs(validf * (est_depth - gt_depth)))
+        # Eq 15: normal consistency on valid pixels (ref :177-180)
+        ndot = jnp.sum(est_normal * surf_normal, axis=-1)
+        normal_loss = jnp.sum((1.0 - ndot) * validf) / n_valid
+        normal_loss = normal_loss * mc.opt_lambda_normal
+        # Eq 16: BCE(alpha, valid) on valid pixels (targets are 1) (ref :182)
+        a = jnp.clip(est_alpha, 1e-7, 1.0 - 1e-7)
+        alpha_loss = jnp.sum(-jnp.log(a) * validf) / n_valid
+        alpha_loss = alpha_loss * mc.opt_lambda_alpha
+        # Eq 17: scale-overflow penalty on active surfels (ref :190-195)
+        smax = jnp.max(scaling, axis=-1)
+        over = jnp.maximum(smax - mc.opt_scaling_max, 0.0) * active
+        reg_scales = mc.opt_scaling_max_penalty * jnp.sum(over)
+
+        return geom_l1 + alpha_loss + normal_loss + reg_scales
+
+    def _optimize_impl(self, surfels: S.Surfels, adam: S.AdamState,
+                       kf: KeyframeBatch, key):
+        grad_fn = jax.value_and_grad(self._loss)
+        num_iters = self.cfg.mapping.num_iterations + 1  # ref :150
+
+        def body(carry, it_key):
+            surf, st, ema = carry
+            kf_idx = jax.random.categorical(it_key, kf.log_probs)
+            loss, grads = grad_fn(surf.params, surf.active, kf, kf_idx)
+            surf, st = S.adam_step(surf, st, grads, self.hyper)
+            ema = jnp.where(jnp.isnan(ema), loss, 0.1 * loss + 0.9 * ema)
+            return (surf, st, ema), loss
+
+        keys = jax.random.split(key, num_iters)
+        (surfels, adam, ema), losses = jax.lax.scan(
+            body, (surfels, adam, jnp.float32(jnp.nan)), keys)
+        return surfels, adam, ema, losses
+
+    # ------------------------------------------------------------------
+    # prune (ref slam/mapper.py:216-233)
+    # ------------------------------------------------------------------
+    def _prune_impl(self, surfels: S.Surfels):
+        mc = self.cfg.mapping
+        prune = jnp.zeros((surfels.capacity,), bool)
+        if mc.pruning_min_opacity and mc.pruning_min_opacity > 0:
+            op = jax.nn.sigmoid(surfels.params.logit_opacity)
+            prune = prune | (op < mc.pruning_min_opacity)
+        if mc.pruning_min_size and mc.pruning_min_size > 0:
+            snorm = jnp.linalg.norm(jnp.exp(surfels.params.log_scale),
+                                    axis=-1)
+            prune = prune | (snorm < mc.pruning_min_size)
+        prune = prune & surfels.active
+        return S.prune_surfels(surfels, prune), jnp.sum(prune)
+
+
+class Mapper:
+    """Host-side orchestration around MapperPrograms
+    (ref slam/mapper.py:20-47)."""
+
+    def __init__(self, cfg: Configuration):
+        self.cfg = cfg
+        self.model: LocalModel | None = None
+        self._programs: dict[tuple, MapperPrograms] = {}
+        self._key = jax.random.PRNGKey(0)
+
+    def register_model(self, model: LocalModel) -> None:
+        self.model = model
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def programs_for(self, height: int, width: int,
+                     capacity: int) -> MapperPrograms:
+        sig = (height, width, capacity)
+        if sig not in self._programs:
+            self._programs[sig] = MapperPrograms(self.cfg, *sig)
+        return self._programs[sig]
+
+    def _stack_keyframes(self, kf_cap: int) -> KeyframeBatch:
+        frames = self.model.keyframes[:kf_cap]
+        n = len(frames)
+        cams = [f.camera_in_model() for f in frames]
+        h, w = cams[0].height, cams[0].width
+
+        def stack(getter, pad_shape, dtype):
+            arr = np.zeros((kf_cap,) + pad_shape, dtype)
+            for i, c in enumerate(cams):
+                arr[i] = np.asarray(getter(c))
+            return jnp.asarray(arr)
+
+        probs = sample_geometric_probs(
+            n, self.cfg.mapping.prob_view_last_keyframe, kf_cap)
+        log_probs = np.full((kf_cap,), -np.inf, np.float32)
+        log_probs[:n] = np.log(np.maximum(probs[:n], 1e-30))
+        return KeyframeBatch(
+            K=stack(lambda c: c.K, (3, 3), np.float32),
+            T_cw=stack(lambda c: c.T_cw, (4, 4), np.float32),
+            depth=stack(lambda c: c.depth, (h, w), np.float32),
+            valid=stack(lambda c: c.valid, (h, w), bool),
+            log_probs=jnp.asarray(log_probs))
+
+    def update_model(self, frame: Frame, initialize_model: bool = False
+                     ) -> None:
+        """densify -> optimize -> prune (ref slam/mapper.py:33-47)."""
+        model = self.model
+        cam = frame.camera_in_model()
+        h, w = cam.height, cam.width
+
+        progs = self.programs_for(h, w, model.capacity)
+        model.ensure_free_slots(progs.max_new)
+        if model.capacity != progs.capacity:
+            progs = self.programs_for(h, w, model.capacity)
+
+        model.surfels, model.adam, n_new, sampled = progs._densify(
+            model.surfels, model.adam, cam, self._next_key(),
+            initialize=initialize_model)
+        logger.info(f"Adding {int(n_new)} new gaussians")
+
+        # pad keyframe count to a multiple of keyframe_capacity so the
+        # optimize program only recompiles when a new bucket is reached
+        bucket = max(int(self.cfg.compute.keyframe_capacity), 1)
+        kf_cap = ((len(model.keyframes) + bucket - 1) // bucket) * bucket
+        kf = self._stack_keyframes(kf_cap)
+        model.surfels, model.adam, ema, losses = progs._optimize(
+            model.surfels, model.adam, kf, self._next_key())
+        logger.debug(f"optimize done, loss_ema={float(ema):.4f}")
+
+        model.surfels, n_pruned = progs._prune(model.surfels)
+        logger.info(f"Pruning {int(n_pruned)} gaussians")
+        logger.info(f"Model updated. | No. primitives = "
+                    f"{model.no_gaussians}, {model.size_mb:.2f} MB")

@@ -1,0 +1,231 @@
+"""Tracker: frame-to-rendered-model registration.
+
+Re-implements ref slam/tracker.py:14-203.  The CUDA ``gsaligner`` submodule
+(projective scan registration, contract at ref slam/tracker.py:146-188)
+becomes a pure-JAX Gauss-Newton loop under lax.fori_loop:
+
+  target  = model depth *rendered* at the last keyframe's view
+            (frame-to-model, ref :170-181), back-projected to points +
+            finite-difference normals, all in the keyframe sensor frame;
+  source  = measured depth of the new frame, back-projected (ref :160-168);
+  residual r_i = n_t . (T p_s - p_t)  via nearest-pixel projective data
+            association, Huber-robustified;  update T <- exp(dx) T from the
+            damped 6x6 normal equations;  fitness = inlier fraction
+            (compared against keyframe_threshold_fitness, ref :69-80).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import AlignerParams, Configuration, TrackingMethod
+from ..geometry import se3, spherical
+from ..logging_utils import get_logger
+from ..model.frame import Frame
+from ..model.local_model import LocalModel
+from ..ops.rasterizer import RenderParams, render
+
+logger = get_logger("tracker")
+
+
+@partial(jax.jit, static_argnames=("num_iterations", "height", "width"))
+def gauss_newton_align(T_init,
+                       src_pts, src_valid,
+                       tgt_depth, tgt_pts, tgt_normals, tgt_valid,
+                       K,
+                       height: int, width: int,
+                       num_iterations: int,
+                       huber_delta: float,
+                       max_corr_dist: float,
+                       inlier_threshold: float,
+                       damping: float):
+    """Projective point-to-plane GN.  All target images [H, W, ...]."""
+
+    def residuals(T):
+        q = src_pts @ T[:3, :3].T + T[:3, 3]
+        x, y, _ = spherical.project_points(K, q)
+        u = jnp.mod(spherical.pixel_index(x), width)
+        v = spherical.pixel_index(y)
+        in_img = (v >= 0) & (v < height)
+        v = jnp.clip(v, 0, height - 1)
+        n = tgt_normals[v, u]
+        p_t = tgt_pts[v, u]
+        r = jnp.sum(n * (q - p_t), axis=-1)
+        ok = (src_valid & in_img & tgt_valid[v, u]
+              & (jnp.abs(r) <= max_corr_dist))
+        return r, ok, q, n
+
+    def body(_, T):
+        r, ok, q, n = residuals(T)
+        absr = jnp.abs(r)
+        w = jnp.where(absr <= huber_delta, 1.0,
+                      huber_delta / jnp.maximum(absr, 1e-12))
+        w = jnp.where(ok, w, 0.0)
+        J = jnp.concatenate([n, jnp.cross(q, n)], axis=-1)  # [P, 6]
+        H = jnp.einsum("pi,pj->ij", J * w[:, None], J,
+                       precision=jax.lax.Precision.HIGHEST)
+        b = jnp.einsum("pi,p->i", J, w * r,
+                       precision=jax.lax.Precision.HIGHEST)
+        H = H + damping * jnp.eye(6)
+        dx = -jnp.linalg.solve(H, b)
+        ok_solve = jnp.all(jnp.isfinite(dx)) & (jnp.sum(ok) >= 6)
+        dx = jnp.where(ok_solve, dx, 0.0)
+        return se3.exp_se3(dx) @ T
+
+    T = jax.lax.fori_loop(0, num_iterations, body, T_init)
+    r, ok, _, _ = residuals(T)
+    n_src = jnp.maximum(jnp.sum(src_valid), 1)
+    fitness = jnp.sum(ok & (jnp.abs(r) < inlier_threshold)) / n_src
+    return T, fitness
+
+
+class AlignerGN:
+    """gsaligner-equivalent (ref slam/tracker.py:141-197)."""
+
+    def __init__(self, cfg: Configuration):
+        self.cfg = cfg
+        self.reg_fitness = 1.0
+        self.model: LocalModel | None = None
+        ap = cfg.tracking.gsaligner or AlignerParams()
+        ap.image_height = cfg.preprocessing.image_height
+        ap.image_width = cfg.preprocessing.image_width
+        self.ap = ap
+        cc = cfg.compute
+        self._render_params = None
+        self._target = None
+        self._source = None
+
+    def set_model(self, model: LocalModel) -> None:
+        self.model = model
+
+    def _params_for(self, cam) -> RenderParams:
+        cc = self.cfg.compute
+        return RenderParams(height=cam.height, width=cam.width,
+                            backend=cc.backend.value, chunk=cc.chunk,
+                            tile_h=cc.tile_h, tile_w=cc.tile_w,
+                            tile_list_capacity=cc.tile_list_capacity)
+
+    def set_target(self, frame: Frame) -> None:
+        """Render the model at the keyframe view (ref :170-181)."""
+        assert self.model is not None
+        cam = frame.camera_in_model()
+        surf = self.model.surfels
+        pkg = render(surf.params.xyz, surf.scaling, surf.rotation,
+                     surf.opacity, cam.T_cw, cam.K,
+                     self._params_for(cam), self.cfg.opt.depth_ratio)
+        depth = pkg["surf_depth"]
+        alpha = pkg["rend_alpha"]
+        valid = (alpha > 0.5) & (depth > self.cfg.preprocessing.depth_min)
+        pts = spherical.depth_to_points(depth, cam.K)  # keyframe sensor frame
+        normals = spherical.depth_to_normal(depth, cam.K)
+        self._target = (depth, pts, normals, valid, cam.K,
+                        cam.height, cam.width)
+
+    def set_source(self, frame: Frame) -> None:
+        """Measured depth of the new frame (ref :160-168)."""
+        cam = frame.camera
+        pts = spherical.depth_to_points(cam.depth, cam.K).reshape(-1, 3)
+        valid = cam.valid.reshape(-1)
+        self._source = (pts, valid)
+
+    def align(self, iguess: np.ndarray) -> np.ndarray:
+        assert self._target is not None and self._source is not None
+        depth, pts, normals, valid, K, h, w = self._target
+        src_pts, src_valid = self._source
+        T, fitness = gauss_newton_align(
+            jnp.asarray(iguess, jnp.float32), src_pts, src_valid,
+            depth, pts, normals, valid, K, h, w,
+            num_iterations=int(self.ap.num_iterations),
+            huber_delta=float(self.ap.huber_delta),
+            max_corr_dist=float(self.ap.max_correspondence_dist),
+            inlier_threshold=float(self.ap.inlier_threshold),
+            damping=float(self.ap.damping))
+        self.reg_fitness = float(fitness)
+        return np.asarray(T, np.float64)
+
+    def fitness(self) -> float:
+        return self.reg_fitness
+
+
+class AlignerGT:
+    """Ground-truth aligner (ref slam/tracker.py:104-138)."""
+
+    def __init__(self, cfg: Configuration):
+        self.source = None
+        self.target = None
+        self.model = None
+
+    def set_source(self, frame: Frame) -> None:
+        self.source = frame
+
+    def set_target(self, frame: Frame) -> None:
+        self.target = frame
+
+    def align(self, iguess: np.ndarray) -> np.ndarray:
+        world_T_target = self.target.world_T_frame
+        world_T_source = self.source.world_T_frame
+        return np.linalg.inv(world_T_target) @ world_T_source
+
+    def fitness(self) -> float:
+        return 1.0
+
+    def set_model(self, model: LocalModel) -> None:
+        self.model = model
+
+
+aligner_available = {
+    TrackingMethod.gsaligner: AlignerGN,
+    TrackingMethod.gt: AlignerGT,
+}
+
+
+class Tracker:
+    """Frame-to-keyframe pose estimation (ref slam/tracker.py:14-84)."""
+
+    def __init__(self, cfg: Configuration):
+        self.cfg = cfg
+        self.model: LocalModel | None = None
+        self.num_frames_tracked = 0
+        self.keyframe_T_frame = np.eye(4, dtype=np.float64)
+        self.aligner = aligner_available[cfg.tracking.method](cfg)
+
+    def register_model(self, model: LocalModel) -> None:
+        self.model = model
+        self.num_frames_tracked = 0
+        self.aligner.set_model(model)
+
+    def register_keyframe(self, keyframe: Frame) -> None:
+        self.keyframe_T_frame = np.eye(4, dtype=np.float64)
+        self.aligner.set_target(keyframe)
+        self.num_frames_tracked = 0
+
+    def track(self, frame: Frame) -> None:
+        self.aligner.set_source(frame)
+        self.keyframe_T_frame = self.aligner.align(self.keyframe_T_frame)
+        model_T_keyframe = self.model.keyframes[-1].model_T_frame
+        frame.model_T_frame = model_T_keyframe @ self.keyframe_T_frame
+        self.num_frames_tracked += 1
+        logger.debug(f"track| model_T_frame="
+                     f"{frame.model_T_frame[:3, -1]}"
+                     f" fitness={self.aligner.fitness():.3f}")
+
+    def require_new_keyframe(self) -> bool:
+        """Keyframe trigger conditions (ref slam/tracker.py:61-84)."""
+        tc = self.cfg.tracking
+        ret = False
+        if tc.keyframe_threshold_nframes and \
+                tc.keyframe_threshold_nframes > 0:
+            ret = ret or (self.num_frames_tracked >
+                          tc.keyframe_threshold_nframes)
+        if tc.keyframe_threshold_fitness and \
+                tc.keyframe_threshold_fitness > 0:
+            ret = ret or (self.aligner.fitness() <
+                          tc.keyframe_threshold_fitness)
+        if tc.keyframe_threshold_distance and \
+                tc.keyframe_threshold_distance > 0:
+            dist = np.linalg.norm(self.keyframe_T_frame[:3, 3])
+            ret = ret or (dist > tc.keyframe_threshold_distance)
+        return ret

@@ -1,0 +1,84 @@
+import jax.numpy as jnp
+import numpy as np
+
+import synthetic
+from splatloam_tpu.geometry import spherical
+from splatloam_tpu.ops import projection
+from splatloam_tpu.slam.tracker import gauss_newton_align
+
+
+def _frame_images(rng, pose, H=24, W=256):
+    cloud = synthetic.sensor_cloud(rng, pose)
+    K, _, _ = spherical.spherical_intrinsics(jnp.asarray(cloud), H, W)
+    depth, lut, valid = projection.build_range_image(
+        jnp.asarray(cloud), jnp.ones(len(cloud), bool), K, H, W, 0.5, 30.0)
+    return K, depth, valid
+
+
+def test_gauss_newton_recovers_small_transform(rng):
+    H, W = 24, 256
+    # target frame at identity
+    T_t = np.eye(4)
+    K, depth_t, valid_t = _frame_images(rng, T_t, H, W)
+    pts_t = spherical.depth_to_points(depth_t, K)
+    normals_t = spherical.depth_to_normal(depth_t, K)
+
+    # source frame displaced by a known small transform
+    ang = 0.03
+    T_s = np.eye(4)
+    T_s[:3, :3] = np.array([[np.cos(ang), -np.sin(ang), 0],
+                            [np.sin(ang), np.cos(ang), 0],
+                            [0, 0, 1]])
+    T_s[:3, 3] = [0.2, -0.1, 0.05]
+    K_s, depth_s, valid_s = _frame_images(rng, T_s, H, W)
+    src_pts = spherical.depth_to_points(depth_s, K_s).reshape(-1, 3)
+    src_valid = np.asarray(valid_s).reshape(-1)
+
+    T_est, fitness = gauss_newton_align(
+        jnp.eye(4), src_pts, jnp.asarray(src_valid),
+        depth_t, pts_t, normals_t, valid_t, K, H, W,
+        num_iterations=30, huber_delta=0.3, max_corr_dist=1.0,
+        inlier_threshold=0.3, damping=1e-6)
+    T_est = np.asarray(T_est)
+    # target_T_source should match T_s (both frames' clouds are the same
+    # world surfaces)
+    err_t = np.linalg.norm(T_est[:3, 3] - T_s[:3, 3])
+    err_R = np.linalg.norm(T_est[:3, :3] - T_s[:3, :3])
+    assert err_t < 0.03, f"translation error {err_t}, T_est={T_est}"
+    # nearest-pixel association at 256-column resolution (0.0245 rad/px)
+    # limits rotation accuracy; sub-pixel ~0.007 rad is expected
+    assert err_R < 0.02, f"rotation error {err_R}"
+    assert float(fitness) > 0.8
+
+
+def test_gauss_newton_identity_stable(rng):
+    H, W = 24, 256
+    K, depth_t, valid_t = _frame_images(rng, np.eye(4), H, W)
+    pts_t = spherical.depth_to_points(depth_t, K)
+    normals_t = spherical.depth_to_normal(depth_t, K)
+    src_pts = pts_t.reshape(-1, 3)
+    src_valid = np.asarray(valid_t).reshape(-1)
+    T_est, fitness = gauss_newton_align(
+        jnp.eye(4), src_pts, jnp.asarray(src_valid),
+        depth_t, pts_t, normals_t, valid_t, K, H, W,
+        num_iterations=10, huber_delta=0.3, max_corr_dist=1.0,
+        inlier_threshold=0.3, damping=1e-6)
+    np.testing.assert_allclose(np.asarray(T_est), np.eye(4), atol=1e-4)
+    assert float(fitness) > 0.95
+
+
+def test_gauss_newton_no_correspondences(rng):
+    # empty target: solver must not produce NaNs
+    H, W = 8, 64
+    K = jnp.asarray(np.array([[10.0, 0, 31.0], [0, -3.0, 3.0], [0, 0, 1]],
+                             np.float32))
+    zeros = jnp.zeros((H, W))
+    T_est, fitness = gauss_newton_align(
+        jnp.eye(4), jnp.ones((128, 3)), jnp.ones((128,), bool),
+        zeros, jnp.zeros((H, W, 3)), jnp.zeros((H, W, 3)),
+        jnp.zeros((H, W), bool), K, H, W,
+        num_iterations=5, huber_delta=0.3, max_corr_dist=1.0,
+        inlier_threshold=0.3, damping=1e-6)
+    assert np.all(np.isfinite(np.asarray(T_est)))
+    np.testing.assert_allclose(np.asarray(T_est), np.eye(4), atol=1e-5)
+    assert float(fitness) == 0.0
