@@ -1,0 +1,115 @@
+"""Tile binning for the Pallas rasterizer (XLA-side, non-differentiable).
+
+The CUDA reference bins splats to 16x16 screen tiles with a global
+(tile|depth) radix sort (upstream 2DGS design).  The TPU-native equivalent:
+
+  1. one global depth argsort of all surfels (XLA sort);
+  2. a [tiles, N] overlap mask from conservative pixel bounding boxes
+     (azimuth-wrapped in x — a splat can straddle the +-pi seam);
+  3. per-tile compaction via cumsum + clipped scatter, which preserves the
+     depth order without any per-tile sort.
+
+Produces fixed-capacity per-tile index lists (overflow drops the farthest
+splats, which are occluded anyway once alpha saturates) plus per-tile
+counts used for early termination inside the kernel.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from . import common
+
+
+@partial(jax.jit, static_argnames=("height", "width", "tile_h", "tile_w",
+                                   "capacity"))
+def build_tile_lists(packed: common.PackedSurfels, height: int, width: int,
+                     tile_h: int, tile_w: int, capacity: int):
+    """Returns (lists [T, K] int32 indices into F (N = padding row),
+    counts [T] int32, order [N] the depth sort permutation)."""
+    n = packed.depth.shape[0]
+    ty = height // tile_h
+    tx = width // tile_w
+    n_tiles = ty * tx
+
+    sort_key = jnp.where(packed.radius_px > 0, packed.depth, jnp.inf)
+    order = jnp.argsort(sort_key)
+    cx = packed.center_xy[order, 0]
+    cy = packed.center_xy[order, 1]
+    r = packed.radius_px[order]
+    alive = r > 0
+
+    # tile centers in continuous pixel coordinates (pixel u center = u-0.5)
+    tile_cx = (jnp.arange(tx) * tile_w + tile_w / 2.0 - 0.5)
+    tile_cy = (jnp.arange(ty) * tile_h + tile_h / 2.0 - 0.5)
+
+    # overlap tests: [T_axis, N]
+    dx = cx[None, :] - tile_cx[:, None]
+    dx = dx - jnp.round(dx / width) * width          # azimuth wrap
+    ox = jnp.abs(dx) <= (r[None, :] + tile_w / 2.0)  # [tx, N]
+    dy = cy[None, :] - tile_cy[:, None]
+    oy = jnp.abs(dy) <= (r[None, :] + tile_h / 2.0)  # [ty, N]
+
+    mask = (oy[:, None, :] & ox[None, :, :] &
+            alive[None, None, :]).reshape(n_tiles, n)
+
+    pos = jnp.cumsum(mask, axis=1) - 1               # [T, N]
+    counts = jnp.minimum(pos[:, -1] + 1, capacity).astype(jnp.int32)
+    write = mask & (pos < capacity)
+    pos = jnp.where(write, pos, capacity)            # clipped -> dropped
+    lists = jnp.full((n_tiles, capacity + 1), n, jnp.int32)
+    src = jnp.broadcast_to(order[None, :], (n_tiles, n))
+    lists = jax.vmap(lambda l, p, s: l.at[p].set(s, mode="drop"))(
+        lists, pos, src)
+    return lists[:, :capacity], counts, order
+
+
+@partial(jax.jit, static_argnames=("height", "width", "tile_h", "tile_w"))
+def tile_rays(K: jax.Array, height: int, width: int, tile_h: int,
+              tile_w: int):
+    """Per-tile pixel rays and coordinates.
+
+    Returns (rays [T, P, 3], pix [T, P, 2]) with P = tile_h*tile_w, tiles
+    in row-major (ty, tx) order, pixels row-major within the tile.
+    """
+    rays, pix = common.pixel_grid(K, height, width)
+    ty, tx = height // tile_h, width // tile_w
+
+    def to_tiles(a):
+        c = a.shape[-1]
+        a = a.reshape(ty, tile_h, tx, tile_w, c)
+        return a.transpose(0, 2, 1, 3, 4).reshape(ty * tx,
+                                                  tile_h * tile_w, c)
+
+    return to_tiles(rays), to_tiles(pix)
+
+
+def untile(chans_tiled: jax.Array, height: int, width: int, tile_h: int,
+           tile_w: int) -> jax.Array:
+    """[T, C_ch, P] -> [C_ch, H, W]."""
+    ty, tx = height // tile_h, width // tile_w
+    n_ch = chans_tiled.shape[1]
+    a = chans_tiled.reshape(ty, tx, n_ch, tile_h, tile_w)
+    return a.transpose(2, 0, 3, 1, 4).reshape(n_ch, height, width)
+
+
+def pack_features(packed: common.PackedSurfels) -> jax.Array:
+    """PackedSurfels -> F [N+1, 16] (last row = zero padding target).
+
+    Layout: 0:3 p | 3:6 gu | 6:9 gv | 9:12 n | 12 opacity | 13 depth |
+    14 cx | 15 cy.
+    """
+    n = packed.depth.shape[0]
+    F = jnp.concatenate([
+        packed.p, packed.gu, packed.gv, packed.n,
+        packed.opacity[:, None], packed.depth[:, None],
+        packed.center_xy], axis=1)
+    return jnp.concatenate([F, jnp.zeros((1, 16), F.dtype)], axis=0)
+
+
+def gather_tile_features(F: jax.Array, lists: jax.Array) -> jax.Array:
+    """F [N+1, 16], lists [T, K] -> Fg [T, 16, K] (feature-major for the
+    kernel: features on sublanes, surfels on lanes)."""
+    return jnp.swapaxes(F[lists], -1, -2)

@@ -95,9 +95,14 @@ def pack_surfels(xyz: jax.Array, scaling: jax.Array, rotation: jax.Array,
     cy = K[1, 1] * phi + K[1, 2]
     center_xy = jnp.stack([cx, cy], axis=-1)
 
-    # conservative angular radius -> pixels (for binning/visibility)
+    # conservative angular radius -> pixels (for binning/visibility): every
+    # ray-splat intersection lies within sigma_cut*s_max of the center in
+    # 3-D, so its direction is within that radius seen from the CLOSEST
+    # possible depth (depth - sigma_cut*s_max), not the center depth —
+    # oblique splats (floors at grazing angles) need the difference.
     smax = jnp.max(s, axis=-1)
-    ang = sigma_cut * smax / jnp.maximum(depth, NEAR)
+    reach = sigma_cut * smax
+    ang = reach / jnp.maximum(depth - reach, NEAR)
     fmax = jnp.maximum(jnp.abs(K[0, 0]), jnp.abs(K[1, 1]))
     radius = ang * fmax + 1.0
     visible = (opacity > ALPHA_MIN) & (depth > NEAR)

@@ -1,0 +1,445 @@
+"""Pallas TPU kernels for the spherical 2DGS rasterizer (fwd + bwd).
+
+Replaces the CUDA ``diff_surfel_spherical_rasterization`` submodule with a
+TPU-first design (see common.py for the math contract):
+
+  * binning.py produces depth-ordered per-tile surfel lists (XLA);
+  * the FORWARD kernel runs a (tiles, chunks) grid: per chunk it evaluates
+    alpha for CHUNK surfels x TILE pixels as one [C, P] block — a [C,3]x[3,P]
+    MXU matmul + VPU elementwise — and composites via an exclusive prefix
+    scan of log(1-alpha) along the chunk axis (log-shift adds), carrying
+    per-pixel transmittance in VMEM scratch across chunks.  Chunks past the
+    tile's surfel count, or after every pixel saturates, are skipped;
+  * chunk-boundary transmittances are saved, so the BACKWARD kernel runs
+    chunks in reverse with only O(P) suffix carries (sum of w*phi, w, w*m),
+    reconstructing all blend weights exactly — no atomics: per-tile gradient
+    rows are scatter-added by surfel id afterwards in XLA, and gradients
+    w.r.t. surfel params + SE(3) pose flow through jax.vjp of pack_surfels.
+
+Gradient coverage: depth/alpha/normal/distortion channels (the median
+channel is treated as non-differentiable, matching its use as a filter
+only; all reference losses use expected depth, ref configs depth_ratio=0).
+"""
+from __future__ import annotations
+
+import functools
+import typing
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import binning, common
+
+T_EPS = 1e-4
+_INTERPRET = False  # flipped by tests on CPU
+
+
+def _interpret() -> bool:
+    return _INTERPRET or jax.default_backend() != "tpu"
+
+
+def _scan_rows(x, exclusive: bool):
+    """Prefix sum along axis 0 (the chunk axis) via log-shift adds."""
+    c = x.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    shift = 1
+    while shift < c:
+        rolled = pltpu.roll(x, shift, axis=0)
+        x = x + jnp.where(rows >= shift, rolled, 0.0)
+        shift *= 2
+    if exclusive:
+        rolled = pltpu.roll(x, 1, axis=0)
+        x = jnp.where(rows >= 1, rolled, 0.0)
+    return x
+
+
+def _splat_geometry(F, rays, pix, width):
+    """Shared fwd/bwd geometry: returns a dict of [C, P] / [C, 1] arrays.
+
+    F [C, 16] packed features; rays [3, P]; pix [2, P].
+    """
+    hi = jax.lax.Precision.HIGHEST
+    p3, gu3, gv3, n3 = F[:, 0:3], F[:, 3:6], F[:, 6:9], F[:, 9:12]
+    opa = F[:, 12:13]
+    depth_c = F[:, 13:14]
+    cx = F[:, 14:15]
+    cy = F[:, 15:16]
+
+    def dotr(a):  # [C, 3] x [3, P] -> [C, P]
+        return jax.lax.dot_general(a, rays, (((1,), (0,)), ((), ())),
+                                   precision=hi,
+                                   preferred_element_type=jnp.float32)
+
+    A1, A2, A3 = dotr(gu3), dotr(gv3), dotr(n3)
+    np_ = jnp.sum(n3 * p3, axis=1, keepdims=True)
+    pgu = jnp.sum(p3 * gu3, axis=1, keepdims=True)
+    pgv = jnp.sum(p3 * gv3, axis=1, keepdims=True)
+
+    denom = jnp.where(jnp.abs(A3) < 1e-8, 1e-8, A3)
+    tstar = np_ / denom
+    uu = tstar * A1 - pgu
+    vv = tstar * A2 - pgv
+    rho3 = uu * uu + vv * vv
+
+    dx = pix[0:1, :] - cx
+    dx = dx - jnp.round(dx * (1.0 / width)) * width
+    dy = pix[1:2, :] - cy
+    rho2 = common.FILTER_INV_SQUARE * (dx * dx + dy * dy)
+
+    use2 = rho2 < rho3
+    rho = jnp.where(use2, rho2, rho3)
+    m = jnp.where(use2, depth_c, tstar)
+
+    g_exp = jnp.exp(-0.5 * rho)
+    alpha_raw = opa * g_exp
+    alpha = jnp.minimum(alpha_raw, common.ALPHA_MAX)
+    ok = (tstar > common.NEAR) & (alpha_raw >= common.ALPHA_MIN)
+    alpha = jnp.where(ok, alpha, 0.0)
+    return dict(p3=p3, gu3=gu3, gv3=gv3, n3=n3, opa=opa, depth_c=depth_c,
+                A1=A1, A2=A2, A3=denom, np_=np_, tstar=tstar, uu=uu, vv=vv,
+                use2=use2, m=m, g_exp=g_exp, alpha_raw=alpha_raw,
+                alpha=alpha, ok=ok, dx=dx, dy=dy)
+
+
+def _fwd_kernel(counts_ref, Fg_ref, rays_ref, pix_ref,
+                out_ref, tbound_ref, t_scr,
+                *, chunk, width, n_chunks):
+    t = pl.program_id(0)
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+        out_ref[0, 7, :] = jnp.ones_like(out_ref[0, 7, :])  # T_final = 1
+        t_scr[...] = jnp.ones_like(t_scr)
+
+    T_carry = t_scr[0, :]                       # [P]
+    tbound_ref[0, c, :] = T_carry
+    count = counts_ref[t]
+    active = (c * chunk < count) & (jnp.max(T_carry) > T_EPS)
+
+    @pl.when(active)
+    def _():
+        geo = _splat_geometry(Fg_ref[0], rays_ref[0], pix_ref[0], width)
+        alpha, m = geo["alpha"], geo["m"]
+        logt = jnp.log1p(-alpha)
+        texc = jnp.exp(_scan_rows(logt, exclusive=True))
+        Ti = T_carry[None, :] * texc            # [C, P]
+        w = alpha * Ti
+        wm = w * m
+
+        hi = jax.lax.Precision.HIGHEST
+        D_carry = out_ref[0, 0, :]
+        A_carry = out_ref[0, 1, :]
+        # distortion uses prefix sums BEFORE this chunk's update
+        a_prev = A_carry[None, :] + _scan_rows(w, exclusive=True)
+        d_prev = D_carry[None, :] + _scan_rows(wm, exclusive=True)
+        out_ref[0, 6, :] += jnp.sum(w * (m * a_prev - d_prev), axis=0)
+
+        out_ref[0, 0, :] = D_carry + jnp.sum(wm, axis=0)
+        out_ref[0, 1, :] = A_carry + jnp.sum(w, axis=0)
+        nsum = jax.lax.dot_general(
+            geo["n3"], w, (((0,), (0,)), ((), ())), precision=hi,
+            preferred_element_type=jnp.float32)   # [3, P]
+        out_ref[0, 2:5, :] += nsum
+
+        # median: first crossing of T below 0.5 (sentinel 0 = not found)
+        t_after = Ti * (1.0 - alpha)
+        crossing = ((Ti > 0.5) & (t_after <= 0.5) &
+                    (alpha > 0)).astype(jnp.float32)
+        first = crossing * (_scan_rows(crossing, exclusive=False) == 1.0)
+        d_first = jnp.sum(first * m, axis=0)
+        any_c = jnp.sum(first, axis=0) > 0
+        med_prev = out_ref[0, 5, :]
+        out_ref[0, 5, :] = jnp.where((med_prev == 0.0) & any_c, d_first,
+                                     med_prev)
+
+        T_new = T_carry * jnp.exp(jnp.sum(logt, axis=0))
+        t_scr[0, :] = T_new
+        out_ref[0, 7, :] = T_new
+
+
+def _bwd_kernel(counts_ref, Fg_ref, rays_ref, pix_ref, tbound_ref,
+                outs_ref, g_ref, dF_ref, suf_scr,
+                *, chunk, width, n_chunks):
+    t = pl.program_id(0)
+    ci = pl.program_id(1)
+    c = n_chunks - 1 - ci                       # true chunk index
+
+    @pl.when(ci == 0)
+    def _():
+        suf_scr[...] = jnp.zeros_like(suf_scr)
+
+    dF_ref[...] = jnp.zeros_like(dF_ref)
+    count = counts_ref[t]
+    T_start = tbound_ref[0, c, :]               # [P]
+    active = (c * chunk < count) & (jnp.max(T_start) > T_EPS)
+
+    @pl.when(active)
+    def _():
+        hi = jax.lax.Precision.HIGHEST
+        rays = rays_ref[0]
+        geo = _splat_geometry(Fg_ref[0], rays, pix_ref[0], width)
+        alpha, m = geo["alpha"], geo["m"]
+        logt = jnp.log1p(-alpha)
+        Ti = T_start[None, :] * jnp.exp(_scan_rows(logt, exclusive=True))
+        w = alpha * Ti
+        wm = w * m
+
+        gD = g_ref[0, 0:1, :]                   # [1, P]
+        gA = g_ref[0, 1:2, :]
+        gN = g_ref[0, 2:5, :]                   # [3, P]
+        gdist = g_ref[0, 6:7, :]
+        A_total = outs_ref[0, 1:2, :]
+        D_total = outs_ref[0, 0:1, :]
+
+        # suffix sums over later surfels: within-chunk reverse-exclusive
+        # cumsum + carry from later chunks (processed first)
+        def rsuf(x):
+            tot = jnp.sum(x, axis=0, keepdims=True)
+            return tot - _scan_rows(x, exclusive=False)
+
+        S_phi_carry = suf_scr[0:1, :]
+        W_carry = suf_scr[1:2, :]
+        MD_carry = suf_scr[2:3, :]
+
+        W_suf = rsuf(w) + W_carry
+        MD_suf = rsuf(wm) + MD_carry
+        A_prev = A_total - w - W_suf
+        D_prev = D_total - wm - MD_suf
+
+        # payload phi = dL/dw per (surfel, pixel)
+        nphi = jax.lax.dot_general(
+            geo["n3"], gN, (((1,), (0,)), ((), ())), precision=hi,
+            preferred_element_type=jnp.float32)   # [C, P]
+        phi = (gD * m + gA + nphi
+               + gdist * (m * A_prev - D_prev + MD_suf - m * W_suf))
+
+        S_phi = rsuf(w * phi) + S_phi_carry
+        one_m_a = jnp.maximum(1.0 - alpha, 1e-3)
+        galpha = Ti * phi - S_phi / one_m_a
+        galpha = jnp.where(alpha > 0, galpha, 0.0)
+
+        # dL/dm (depth of this surfel) and dL/dn (direct normal payload)
+        gm = w * (gD + gdist * (A_prev - W_suf))
+
+        # ---- chain through alpha = min(opa * exp(-rho/2), max) ----
+        not_capped = geo["alpha_raw"] < common.ALPHA_MAX
+        live = geo["ok"] & not_capped
+        g_opa_px = jnp.where(live, galpha * geo["g_exp"], 0.0)
+        g_rho = jnp.where(live, galpha * (-0.5) * geo["alpha_raw"], 0.0)
+
+        use2 = geo["use2"]
+        u3 = jnp.logical_not(use2)
+        # 3d branch
+        g_u = jnp.where(u3, g_rho * 2.0 * geo["uu"], 0.0)
+        g_v = jnp.where(u3, g_rho * 2.0 * geo["vv"], 0.0)
+        g_t = (g_u * geo["A1"] + g_v * geo["A2"]
+               + jnp.where(u3, gm, 0.0))
+        g_np = g_t / geo["A3"]
+        g_A3 = -g_t * geo["tstar"] / geo["A3"]
+        g_A1 = g_u * geo["tstar"]
+        g_A2 = g_v * geo["tstar"]
+        # 2d branch
+        g_dx = jnp.where(use2, g_rho * 2.0 * common.FILTER_INV_SQUARE *
+                         geo["dx"], 0.0)
+        g_dy = jnp.where(use2, g_rho * 2.0 * common.FILTER_INV_SQUARE *
+                         geo["dy"], 0.0)
+
+        def sum_px(x):  # [C, P] -> [C, 1]
+            return jnp.sum(x, axis=1, keepdims=True)
+
+        def dot_rays(x):  # [C, P] x [P, 3] -> [C, 3]
+            return jax.lax.dot_general(
+                x, rays, (((1,), (1,)), ((), ())), precision=hi,
+                preferred_element_type=jnp.float32)
+
+        s_g_np = sum_px(g_np)
+        s_g_u = sum_px(g_u)
+        s_g_v = sum_px(g_v)
+        d_gu = dot_rays(g_A1) - s_g_u * geo["p3"]
+        d_gv = dot_rays(g_A2) - s_g_v * geo["p3"]
+        # dL/dn: t* chain + n.p chain + direct normal-channel payload w*gN
+        d_n = (dot_rays(g_A3) + s_g_np * geo["p3"]
+               + jax.lax.dot_general(w, gN, (((1,), (1,)), ((), ())),
+                                     precision=hi,
+                                     preferred_element_type=jnp.float32))
+        d_p = (s_g_np * geo["n3"] - s_g_u * geo["gu3"]
+               - s_g_v * geo["gv3"])
+        d_opa = sum_px(g_opa_px)
+        d_depth = sum_px(jnp.where(use2, gm, 0.0))
+        d_cx = sum_px(-g_dx)
+        d_cy = sum_px(-g_dy)
+
+        dF = jnp.concatenate(
+            [d_p, d_gu, d_gv, d_n, d_opa, d_depth, d_cx, d_cy], axis=1)
+        dF_ref[0] = dF
+
+        # update suffix carries with this chunk's totals
+        suf_scr[0:1, :] = S_phi_carry + jnp.sum(w * phi, axis=0,
+                                                keepdims=True)
+        suf_scr[1:2, :] = W_carry + jnp.sum(w, axis=0, keepdims=True)
+        suf_scr[2:3, :] = MD_carry + jnp.sum(wm, axis=0, keepdims=True)
+
+
+def _forward_tiled(F, lists, counts, rays_t, pix_t, *, tile_h, tile_w,
+                   chunk, width):
+    n_tiles, K = lists.shape
+    p_tile = tile_h * tile_w
+    n_chunks = K // chunk
+    Fg = F[lists]                               # [T, K, 16]
+    grid = (n_tiles, n_chunks)
+    kernel = functools.partial(_fwd_kernel, chunk=chunk, width=width,
+                               n_chunks=n_chunks)
+    out, tbound = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, chunk, 16), lambda t, c, *_: (t, c, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3, p_tile), lambda t, c, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2, p_tile), lambda t, c, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 8, p_tile), lambda t, c, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n_chunks, p_tile), lambda t, c, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[pltpu.VMEM((1, p_tile), jnp.float32)],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, 8, p_tile), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, n_chunks, p_tile), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(counts, Fg, rays_t, pix_t)
+    return out, tbound
+
+
+def _backward_tiled(F, lists, counts, rays_t, pix_t, tbound, outs, g_tiled,
+                    *, tile_h, tile_w, chunk, width):
+    n_tiles, K = lists.shape
+    p_tile = tile_h * tile_w
+    n_chunks = K // chunk
+    Fg = F[lists]
+    grid = (n_tiles, n_chunks)
+    kernel = functools.partial(_bwd_kernel, chunk=chunk, width=width,
+                               n_chunks=n_chunks)
+
+    def rev(t, c, *_):
+        return (t, n_chunks - 1 - c, 0)
+
+    dFg = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, chunk, 16), rev, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3, p_tile), lambda t, c, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2, p_tile), lambda t, c, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n_chunks, p_tile), lambda t, c, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, p_tile), lambda t, c, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, p_tile), lambda t, c, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, chunk, 16), rev,
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((4, p_tile), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, K, 16), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(counts, Fg, rays_t, pix_t, tbound, outs, g_tiled)
+    # scatter per-tile-entry grads back to surfels (atomics-free)
+    n_plus1 = F.shape[0]
+    dF = jnp.zeros((n_plus1, 16), jnp.float32)
+    dF = dF.at[lists.reshape(-1)].add(dFg.reshape(-1, 16))
+    return dF
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp over the packed-feature rasterizer core
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _raster_core(F, lists, counts, rays_t, pix_t, static):
+    out, _ = _forward_tiled(F, lists, counts, rays_t, pix_t, **static._asdict())
+    return out
+
+
+def _raster_core_fwd(F, lists, counts, rays_t, pix_t, static):
+    out, tbound = _forward_tiled(F, lists, counts, rays_t, pix_t,
+                                 **static._asdict())
+    return out, (F, lists, counts, rays_t, pix_t, tbound, out)
+
+
+def _raster_core_bwd(static, res, g):
+    import numpy as np
+    F, lists, counts, rays_t, pix_t, tbound, outs = res
+    dF = _backward_tiled(F, lists, counts, rays_t, pix_t, tbound, outs, g,
+                         **static._asdict())
+    # integer args take symbolic-zero (float0) cotangents
+    f0 = jax.dtypes.float0
+    return (dF, np.zeros(lists.shape, f0), np.zeros(counts.shape, f0),
+            jnp.zeros_like(rays_t), jnp.zeros_like(pix_t))
+
+
+_raster_core.defvjp(_raster_core_fwd, _raster_core_bwd)
+
+
+class _StaticArgs(typing.NamedTuple):
+    tile_h: int
+    tile_w: int
+    chunk: int
+    width: int
+
+
+def rasterize_pallas(xyz, scaling, rotation, opacity, T_cw, K, params):
+    """Channel dict matching jnp_ref.rasterize_jnp, via the Pallas path."""
+    height, width = params.height, params.width
+    tile_h, tile_w = params.tile_h, params.tile_w
+    assert height % tile_h == 0 and width % tile_w == 0, \
+        f"image {height}x{width} not divisible by tile {tile_h}x{tile_w}"
+    cap = params.tile_list_capacity
+    chunk = params.chunk
+    assert cap % chunk == 0, "tile_list_capacity must be a chunk multiple"
+
+    packed = common.pack_surfels(xyz, scaling, rotation, opacity, T_cw, K)
+    lists, counts, _ = binning.build_tile_lists(
+        jax.lax.stop_gradient(packed), height, width, tile_h, tile_w, cap)
+    rays_all, pix_all = binning.tile_rays(K, height, width, tile_h, tile_w)
+    rays_t = jnp.swapaxes(rays_all, 1, 2)   # [T, 3, P]
+    pix_t = jnp.swapaxes(pix_all, 1, 2)     # [T, 2, P]
+
+    F = binning.pack_features(packed)
+    static = _StaticArgs(tile_h=tile_h, tile_w=tile_w, chunk=chunk,
+                         width=width)
+    out = _raster_core(F, lists, counts, rays_t, pix_t, static)
+
+    chans = binning.untile(out, height, width, tile_h, tile_w)
+    return {
+        "depth_sum": chans[0],
+        "alpha": chans[1],
+        "normal_sum": jnp.moveaxis(chans[2:5], 0, -1),
+        "median": chans[5],
+        "dist": chans[6],
+        "final_T": chans[7],
+        "radii": packed.radius_px,
+    }

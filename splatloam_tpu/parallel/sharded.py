@@ -1,0 +1,168 @@
+"""Sharded mapping train step: DP over range-image rows x FSDP over surfels.
+
+One optimization iteration of the mapper (render -> losses Eq 15-17 ->
+Adam), expressed with shard_map over a ("data", "model") mesh:
+
+  * surfel params/Adam moments live sharded over "model"; a step all-gathers
+    the params (bf16-able later), computes, then reduce-scatters gradients
+    back to the shard — classic FSDP, over ICI;
+  * each "data" shard renders its block of image ROWS (compositing is
+    per-pixel, so row blocks are independent); scalar loss terms are
+    computed as sums and psum'd across "data" before normalization, making
+    the result bitwise-equivalent in expectation to the single-device step;
+  * the Adam update runs on the local shard only — no replicated state.
+
+The row shard is expressed by shifting the intrinsics' cy per device, so
+the single-device renderer runs unchanged inside shard_map.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..model import surfels as S
+from ..ops.rasterizer import RenderParams, render
+
+
+def _halo_surf_normal(surf_depth, K_local, T_cw, height, h_local, n_data):
+    """surf_normal on a row shard with 1-row halo exchange over "data".
+
+    depth_to_normal needs +-1 rows; neighbors' boundary rows arrive via
+    ppermute (ICI neighbor exchange).  Rows at the global image border are
+    zeroed exactly like the single-device path.
+    """
+    from ..geometry import se3, spherical
+    up = jax.lax.ppermute(surf_depth[-1:], "data",
+                          perm=[(i, i + 1) for i in range(n_data - 1)])
+    down = jax.lax.ppermute(surf_depth[:1], "data",
+                            perm=[(i + 1, i) for i in range(n_data - 1)])
+    ext = jnp.concatenate([up, surf_depth, down], axis=0)
+    K_ext = K_local.at[1, 2].add(1.0)  # ext row 0 = local row -1
+    normals_ext = spherical.depth_to_normal(ext, K_ext,
+                                            se3.invert_T(T_cw))
+    normals = normals_ext[1:-1]
+    idx = jax.lax.axis_index("data")
+    grow = idx * h_local + jnp.arange(h_local)
+    border = (grow == 0) | (grow == height - 1)
+    return jnp.where(border[:, None, None], 0.0, normals)
+
+
+def _row_shard_camera(K, height: int, n_data: int):
+    """Per-device intrinsics for a block of height/n_data rows."""
+    h_local = height // n_data
+    idx = jax.lax.axis_index("data")
+    row0 = idx * h_local
+    K_local = K.at[1, 2].add(-row0.astype(K.dtype))
+    return K_local, h_local
+
+
+def shard_model_state(mesh: Mesh, surfels: S.Surfels, adam: S.AdamState):
+    """Place surfel/Adam leaves sharded over the "model" axis."""
+    shard = NamedSharding(mesh, P("model"))
+    repl = NamedSharding(mesh, P())
+
+    def put(x, s):
+        return jax.device_put(x, s)
+
+    surfels = S.Surfels(
+        params=S.SurfelParams(*(put(a, shard) for a in surfels.params)),
+        active=put(surfels.active, shard))
+    adam = S.AdamState(
+        mu=S.SurfelParams(*(put(a, shard) for a in adam.mu)),
+        nu=S.SurfelParams(*(put(a, shard) for a in adam.nu)),
+        step=put(adam.step, repl))
+    return surfels, adam
+
+
+def sharded_train_step(mesh: Mesh, params: RenderParams,
+                       hyper: S.AdamHyper,
+                       lambda_alpha: float, lambda_normal: float,
+                       scaling_max: float, scaling_max_penalty: float,
+                       depth_ratio: float = 0.0):
+    """Build a jitted (surfels, adam, K, T_cw, depth, valid) -> updated
+    (surfels, adam, loss) step over the mesh."""
+    n_data = mesh.shape["data"]
+    n_model = mesh.shape["model"]
+    height, width = params.height, params.width
+    assert height % n_data == 0, (height, n_data)
+    local_params = params._replace(height=height // n_data)
+
+    def step(surf_shard: S.Surfels, adam_shard: S.AdamState,
+             K, T_cw, depth_rows, valid_rows):
+        # ---- FSDP: materialize full params for compute ----
+        full = S.SurfelParams(*(
+            jax.lax.all_gather(a, "model", tiled=True)
+            for a in surf_shard.params))
+        active = jax.lax.all_gather(surf_shard.active, "model", tiled=True)
+        K_local, h_local = _row_shard_camera(K, height, n_data)
+        validf = valid_rows.astype(jnp.float32)
+        # global normalizer (no param dependence): psum OUTSIDE the grad —
+        # collectives inside a differentiated function do not transpose to
+        # per-shard identity under shard_map, so loss_fn below works purely
+        # on LOCAL sums weighted by globally-computed constants.
+        v_sum = jnp.maximum(
+            jax.lax.psum(jnp.sum(validf), "data"), 1.0)
+
+        def loss_fn(full_params):
+            scaling = jnp.exp(full_params.log_scale)
+            opacity = jax.nn.sigmoid(full_params.logit_opacity) * active
+            pkg = render(full_params.xyz, scaling, full_params.quat,
+                         opacity, T_cw, K_local, local_params, depth_ratio)
+            l1_sum = jnp.sum(jnp.abs(validf * (pkg["surf_depth"]
+                                               - depth_rows)))
+            # surf_normal crosses row-shard borders: recompute with halo
+            surf_normal = _halo_surf_normal(
+                pkg["surf_depth"], K_local, T_cw, height,
+                height // n_data, n_data) * pkg["rend_alpha"][..., None]
+            ndot = jnp.sum(pkg["rend_normal"] * surf_normal, -1)
+            n_sum = jnp.sum((1.0 - ndot) * validf)
+            a = jnp.clip(pkg["rend_alpha"], 1e-7, 1.0 - 1e-7)
+            a_sum = jnp.sum(-jnp.log(a) * validf)
+
+            smax = jnp.max(scaling, axis=-1)
+            over = jnp.maximum(smax - scaling_max, 0.0) * active
+            # replicated over data shards; pre-divide so the psum of grads
+            # counts it exactly once
+            reg = scaling_max_penalty * jnp.sum(over) / n_data
+            return (l1_sum / (height * width)
+                    + lambda_alpha * a_sum / v_sum
+                    + lambda_normal * n_sum / v_sum
+                    + reg)
+
+        loss_local, grads = jax.value_and_grad(loss_fn)(full)
+        # DP: each data shard's grads cover only its rows; psum over ICI
+        # accumulates the exact full-image gradient.
+        loss = jax.lax.psum(loss_local, "data")
+        grads = S.SurfelParams(*(
+            jax.lax.psum(g, "data") for g in grads))
+        # ---- FSDP: take the local shard of the gradient.  Along "model"
+        # every shard computed the identical full gradient (the data split
+        # is on the other axis), so a plain slice replaces the usual
+        # reduce-scatter — zero communication on this leg.
+        midx = jax.lax.axis_index("model")
+
+        def local_shard(g):
+            shard_rows = g.shape[0] // n_model
+            return jax.lax.dynamic_slice_in_dim(g, midx * shard_rows,
+                                                shard_rows, axis=0)
+
+        grad_shard = S.SurfelParams(*(local_shard(g) for g in grads))
+        new_surf, new_adam = S.adam_step(surf_shard, adam_shard,
+                                         grad_shard, hyper)
+        return new_surf, new_adam, loss
+
+    spec_model = P("model")
+    surf_spec = S.Surfels(params=S.SurfelParams(*(spec_model,) * 4),
+                          active=spec_model)
+    adam_spec = S.AdamState(mu=S.SurfelParams(*(spec_model,) * 4),
+                            nu=S.SurfelParams(*(spec_model,) * 4),
+                            step=P())
+    mapped = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(surf_spec, adam_spec, P(), P(), P("data"), P("data")),
+        out_specs=(surf_spec, adam_spec, P()),
+        check_vma=False)
+    return jax.jit(mapped)
