@@ -47,39 +47,59 @@ def make_scene(rng, n):
 
 
 def main():
-    from splatloam_tpu.ops.rasterizer import RenderParams
-    from splatloam_tpu.ops.rasterizer.pallas_raster import rasterize_pallas
+    from splatloam_tpu.ops.rasterizer import RenderParams, render
+    from splatloam_tpu.ops.rasterizer.api import prepare_tiles
 
     on_tpu = jax.default_backend() == "tpu"
+    # the mapper's production configuration: median/dist channels off (not
+    # in the loss), tile lists rebuilt once per REBIN-iteration block
     params = RenderParams(height=H, width=W,
                           backend="pallas" if on_tpu else "jnp",
                           chunk=512, tile_h=8, tile_w=128,
-                          tile_list_capacity=8192)
+                          tile_list_capacity=8192,
+                          with_median=False, with_dist=False)
+    REBIN = 8
     rng = np.random.default_rng(0)
     args = make_scene(rng, N_SURFELS)
     gt_depth = jnp.ones((H, W)) * 10.0
     valid = jnp.ones((H, W), bool)
 
-    def loss(xyz, scales, quat, opac):
-        from splatloam_tpu.ops.rasterizer import render
-        pkg = render(xyz, scales, quat, opac, args[4], args[5], params)
+    def loss(xyz, scales, quat, opac, tiles):
+        pkg = render(xyz, scales, quat, opac, args[4], args[5], params,
+                     tiles=tiles)
         l1 = jnp.mean(jnp.abs(pkg["surf_depth"] - gt_depth) * valid)
         an = jnp.mean(-jnp.log(jnp.clip(pkg["rend_alpha"], 1e-7, 1.0)))
         nl = jnp.mean(1.0 - jnp.sum(pkg["rend_normal"] *
                                     pkg["surf_normal"], -1))
         return l1 + 0.1 * an + 0.1 * nl
 
-    step = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))
-    g = step(*args[:4])
+    grad_fn = jax.grad(loss, argnums=(0, 1, 2, 3))
+
+    @jax.jit
+    def block(xyz, scales, quat, opac):
+        tiles = prepare_tiles(xyz, scales, quat, opac, args[4], args[5],
+                              params, margin_px=4.0)
+
+        def body(_, p):
+            g = grad_fn(*p, tiles)
+            # small SGD step so every iteration is distinct work (the real
+            # mapper applies Adam here)
+            return jax.tree_util.tree_map(lambda a, b: a - 1e-5 * b, p, g)
+
+        return jax.lax.fori_loop(0, REBIN, body,
+                                 (xyz, scales, quat, opac))
+
+    g = block(*args[:4])
     jax.block_until_ready(g)
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        g = step(*args[:4])
+        g = block(*args[:4])
     jax.block_until_ready(g)
     dt = time.perf_counter() - t0
+    total_iters = ITERS * REBIN
 
-    rays_per_s = H * W * ITERS / dt
+    rays_per_s = H * W * total_iters / dt
     msplats_per_s = N_SURFELS * ITERS / dt / 1e6
     print(json.dumps({
         "metric": "render_fwd_bwd_rays_per_s",

@@ -59,18 +59,31 @@ def cmd_slam(args, extra: list[str]) -> None:
     slam_module = SLAM(cfg)
     pipeline_sanity_check(cfg, data_loader)
 
+    skip = 0
+    if args.resume and cfg.output.checkpoint_dir and \
+            Path(cfg.output.checkpoint_dir).is_dir():
+        from .checkpoint import load_checkpoint
+        skip = load_checkpoint(cfg.output.checkpoint_dir, slam_module)
+
     try:
         from rich.progress import track
         iterator = track(data_loader, description="Processing frames")
     except Exception:
         iterator = data_loader
     n = args.max_frames
+    from .profiling import get_profiler
+    prof = get_profiler()
     for i, (cloud, timestamp, pose) in enumerate(iterator):
+        if i < skip:
+            continue
         if n is not None and i >= n:
             break
-        frame = preprocessor(cloud, timestamp, pose)
-        slam_module.process(frame)
+        with prof.phase("preprocess"):
+            frame = preprocessor(cloud, timestamp, pose)
+        with prof.phase("process"):
+            slam_module.process(frame)
 
+    logger.info("phase profile:\n" + prof.report())
     results_dir = slam_module.save_results()
     print(f"Completed! Results in {results_dir}\n"
           f"  mesh:      python run.py mesh {results_dir}\n"
@@ -254,6 +267,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("configuration", type=Path)
     s.add_argument("--verbose", "-v", action="store_true")
     s.add_argument("--max-frames", type=int, default=None)
+    s.add_argument("--resume", action="store_true",
+                   help="resume from output.checkpoint_dir if present")
     s.set_defaults(func=cmd_slam)
 
     m = sub.add_parser("mesh", help="Extract a mesh from SLAM output")

@@ -173,6 +173,9 @@ class OutputConfig:
     # mirrors /root/reference/utils/config_utils.py:152-157
     folder: Optional[str] = None
     writer: TrajectoryWriterType = TrajectoryWriterType.tum
+    # Mid-run snapshot for preemption-safe resume (new; TPU pods preempt).
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every_keyframes: Optional[int] = None
 
 
 @dataclass
@@ -214,6 +217,12 @@ class ComputeConfig:
     chunk: int = 512
     # Max anisotropic splat radius in multiples of sigma used for tile binning.
     sigma_cut: float = 3.0
+    # Rebuild tile lists every N mapping iterations (1 = exact per-step
+    # binning); the sampled keyframe is held fixed within a block.
+    rebin_every: int = 8
+    # Binning radius margin (pixels) absorbing parameter drift between
+    # rebinning points.
+    bin_margin_px: float = 4.0
 
 
 @dataclass

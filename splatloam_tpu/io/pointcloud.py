@@ -229,8 +229,9 @@ def read_pcd(filename: str | Path) -> np.ndarray:
         if mode == "binary_compressed":
             comp_size, uncomp_size = np.frombuffer(
                 raw[pos:pos + 8], "<u4")
-            blob = _lzf_decompress(raw[pos + 8:pos + 8 + comp_size],
-                                   int(uncomp_size))
+            from . import native
+            blob = native.lzf_decompress(raw[pos + 8:pos + 8 + comp_size],
+                                         int(uncomp_size))
             # binary_compressed stores fields SOA, not AOS
             data = {}
             off = 0

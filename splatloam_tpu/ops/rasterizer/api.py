@@ -28,6 +28,16 @@ class RenderParams(NamedTuple):
     tile_h: int = 8
     tile_w: int = 128
     tile_list_capacity: int = 4096
+    # median/distortion channels cost extra prefix scans in the Pallas
+    # kernels; the mapping/tracking losses use neither (depth_ratio=0 in
+    # all reference configs), so callers may disable them.
+    with_median: bool = True
+    with_dist: bool = True
+    # binner: "sorted" (capped window, fast) or "exact" (unbounded
+    # coverage via per-tile scatter; used by parity tests)
+    binner: str = "sorted"
+    cap_ty: int = 5
+    cap_tx: int = 5
 
 
 def _resolve_backend(backend: str) -> str:
@@ -39,8 +49,13 @@ def _resolve_backend(backend: str) -> str:
         return "jnp"
 
 
-def rasterize(xyz, scaling, rotation, opacity, T_cw, K, params: RenderParams):
-    """Dispatch to a rasterizer backend; returns the raw channel dict."""
+def rasterize(xyz, scaling, rotation, opacity, T_cw, K,
+              params: RenderParams, tiles=None):
+    """Dispatch to a rasterizer backend; returns the raw channel dict.
+
+    ``tiles``: optional frozen TileAssignment (pallas backend only) to
+    amortize binning across iterations; the jnp golden path ignores it.
+    """
     backend = _resolve_backend(params.backend)
     if backend == "jnp":
         return rasterize_jnp(xyz, scaling, rotation, opacity, T_cw, K,
@@ -48,12 +63,22 @@ def rasterize(xyz, scaling, rotation, opacity, T_cw, K, params: RenderParams):
     if backend == "pallas":
         from .pallas_raster import rasterize_pallas
         return rasterize_pallas(xyz, scaling, rotation, opacity, T_cw, K,
-                                params)
+                                params, tiles=tiles)
     raise ValueError(f"unknown rasterizer backend {backend!r}")
 
 
+def prepare_tiles(xyz, scaling, rotation, opacity, T_cw, K,
+                  params: RenderParams, margin_px: float = 0.0):
+    """Precompute a frozen TileAssignment (None on the jnp backend)."""
+    if _resolve_backend(params.backend) != "pallas":
+        return None
+    from .pallas_raster import prepare_tiles as _prep
+    return _prep(xyz, scaling, rotation, opacity, T_cw, K, params,
+                 margin_px=margin_px)
+
+
 def render(xyz, scaling, rotation, opacity, T_cw, K,
-           params: RenderParams, depth_ratio: float = 0.0):
+           params: RenderParams, depth_ratio: float = 0.0, tiles=None):
     """Full render + decode (ref gaussian_renderer/__init__.py:40-93).
 
     Args are *activated* surfel parameters (scaling positive, opacity in
@@ -70,7 +95,8 @@ def render(xyz, scaling, rotation, opacity, T_cw, K,
       radii       [N]
       visibility_filter [N] bool
     """
-    chans = rasterize(xyz, scaling, rotation, opacity, T_cw, K, params)
+    chans = rasterize(xyz, scaling, rotation, opacity, T_cw, K, params,
+                      tiles=tiles)
     alpha = chans["alpha"]
     mask = alpha > 0.0
     safe_alpha = jnp.where(mask, alpha, 1.0)

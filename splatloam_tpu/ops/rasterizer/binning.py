@@ -66,6 +66,71 @@ def build_tile_lists(packed: common.PackedSurfels, height: int, width: int,
     return lists[:, :capacity], counts, order
 
 
+@partial(jax.jit, static_argnames=("height", "width", "tile_h", "tile_w",
+                                   "capacity", "cap_ty", "cap_tx"))
+def build_tile_lists_sorted(packed: common.PackedSurfels, height: int,
+                            width: int, tile_h: int, tile_w: int,
+                            capacity: int, cap_ty: int = 5,
+                            cap_tx: int = 5):
+    """Sort-based tile lists: ~2x faster than the scatter formulation.
+
+    Capped duplicate expansion (each surfel emits up to cap_ty*cap_tx
+    candidate tiles around its center tile, exact overlap-tested), ONE
+    global sort of (tile_id, depth_rank) keys, then segment starts via
+    searchsorted + a single gather.  Coverage beyond the cap window is
+    truncated — at sigma_cut=3 the truncated periphery is below the 1/255
+    alpha cutoff for all but degenerately close splats.
+    """
+    n = packed.depth.shape[0]
+    ty = height // tile_h
+    tx = width // tile_w
+    n_tiles = ty * tx
+    assert n_tiles * (n + 1) < 2 ** 31, "int32 key space exceeded"
+
+    sort_key = jnp.where(packed.radius_px > 0, packed.depth, jnp.inf)
+    order = jnp.argsort(sort_key)
+    cx = packed.center_xy[order, 0]
+    cy = packed.center_xy[order, 1]
+    r = packed.radius_px[order]
+    alive = r > 0
+    tcx = jnp.floor((cx + 1.0) / tile_w).astype(jnp.int32)
+    tcy = jnp.floor((cy + 1.0) / tile_h).astype(jnp.int32)
+    rank = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    big = jnp.iinfo(jnp.int32).max
+
+    # clamp the x-window to the column count: a wider modular window would
+    # visit the same column twice and double-composite surfels (rows have
+    # no wraparound — their bounds check suffices and never duplicates)
+    eff_tx = min(cap_tx, tx)
+    keys = []
+    for dy in range(-(cap_ty // 2), cap_ty - cap_ty // 2):
+        for dx in range(-(eff_tx // 2), eff_tx - eff_tx // 2):
+            tyy = tcy + dy
+            txx = jnp.mod(tcx + dx, tx)
+            ccx = txx.astype(jnp.float32) * tile_w + tile_w / 2.0 - 0.5
+            ccy = tyy.astype(jnp.float32) * tile_h + tile_h / 2.0 - 0.5
+            ddx = cx - ccx
+            ddx = ddx - jnp.round(ddx / width) * width
+            ddy = cy - ccy
+            ok = (alive & (tyy >= 0) & (tyy < ty)
+                  & (jnp.abs(ddx) <= r + tile_w / 2.0)
+                  & (jnp.abs(ddy) <= r + tile_h / 2.0))
+            tile_id = tyy * tx + txx
+            keys.append(jnp.where(ok, tile_id * (n + 1) + rank, big))
+    all_keys = jnp.concatenate(keys)
+    sorted_keys = jnp.sort(all_keys)
+    starts = jnp.searchsorted(
+        sorted_keys,
+        jnp.arange(n_tiles + 1, dtype=jnp.int32) * (n + 1))
+    counts = jnp.minimum(starts[1:] - starts[:-1], capacity)
+    gidx = starts[:-1, None] + jnp.arange(capacity)[None, :]
+    valid = jnp.arange(capacity)[None, :] < counts[:, None]
+    key_at = sorted_keys[jnp.minimum(gidx, all_keys.shape[0] - 1)]
+    ranks = key_at % (n + 1)
+    lists = jnp.where(valid, order[jnp.minimum(ranks, n - 1)], n)
+    return lists.astype(jnp.int32), counts.astype(jnp.int32), order
+
+
 @partial(jax.jit, static_argnames=("height", "width", "tile_h", "tile_w"))
 def tile_rays(K: jax.Array, height: int, width: int, tile_h: int,
               tile_w: int):

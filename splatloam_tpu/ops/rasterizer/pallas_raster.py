@@ -105,7 +105,7 @@ def _splat_geometry(F, rays, pix, width):
 
 def _fwd_kernel(counts_ref, Fg_ref, rays_ref, pix_ref,
                 out_ref, tbound_ref, t_scr,
-                *, chunk, width, n_chunks):
+                *, chunk, width, n_chunks, with_median, with_dist):
     t = pl.program_id(0)
     c = pl.program_id(1)
 
@@ -133,10 +133,11 @@ def _fwd_kernel(counts_ref, Fg_ref, rays_ref, pix_ref,
         hi = jax.lax.Precision.HIGHEST
         D_carry = out_ref[0, 0, :]
         A_carry = out_ref[0, 1, :]
-        # distortion uses prefix sums BEFORE this chunk's update
-        a_prev = A_carry[None, :] + _scan_rows(w, exclusive=True)
-        d_prev = D_carry[None, :] + _scan_rows(wm, exclusive=True)
-        out_ref[0, 6, :] += jnp.sum(w * (m * a_prev - d_prev), axis=0)
+        if with_dist:
+            # distortion uses prefix sums BEFORE this chunk's update
+            a_prev = A_carry[None, :] + _scan_rows(w, exclusive=True)
+            d_prev = D_carry[None, :] + _scan_rows(wm, exclusive=True)
+            out_ref[0, 6, :] += jnp.sum(w * (m * a_prev - d_prev), axis=0)
 
         out_ref[0, 0, :] = D_carry + jnp.sum(wm, axis=0)
         out_ref[0, 1, :] = A_carry + jnp.sum(w, axis=0)
@@ -145,16 +146,18 @@ def _fwd_kernel(counts_ref, Fg_ref, rays_ref, pix_ref,
             preferred_element_type=jnp.float32)   # [3, P]
         out_ref[0, 2:5, :] += nsum
 
-        # median: first crossing of T below 0.5 (sentinel 0 = not found)
-        t_after = Ti * (1.0 - alpha)
-        crossing = ((Ti > 0.5) & (t_after <= 0.5) &
-                    (alpha > 0)).astype(jnp.float32)
-        first = crossing * (_scan_rows(crossing, exclusive=False) == 1.0)
-        d_first = jnp.sum(first * m, axis=0)
-        any_c = jnp.sum(first, axis=0) > 0
-        med_prev = out_ref[0, 5, :]
-        out_ref[0, 5, :] = jnp.where((med_prev == 0.0) & any_c, d_first,
-                                     med_prev)
+        if with_median:
+            # median: first crossing of T below 0.5 (sentinel 0 = unfound)
+            t_after = Ti * (1.0 - alpha)
+            crossing = ((Ti > 0.5) & (t_after <= 0.5) &
+                        (alpha > 0)).astype(jnp.float32)
+            first = crossing * (_scan_rows(crossing,
+                                           exclusive=False) == 1.0)
+            d_first = jnp.sum(first * m, axis=0)
+            any_c = jnp.sum(first, axis=0) > 0
+            med_prev = out_ref[0, 5, :]
+            out_ref[0, 5, :] = jnp.where((med_prev == 0.0) & any_c,
+                                         d_first, med_prev)
 
         T_new = T_carry * jnp.exp(jnp.sum(logt, axis=0))
         t_scr[0, :] = T_new
@@ -163,7 +166,7 @@ def _fwd_kernel(counts_ref, Fg_ref, rays_ref, pix_ref,
 
 def _bwd_kernel(counts_ref, Fg_ref, rays_ref, pix_ref, tbound_ref,
                 outs_ref, g_ref, dF_ref, suf_scr,
-                *, chunk, width, n_chunks):
+                *, chunk, width, n_chunks, with_median, with_dist):
     t = pl.program_id(0)
     ci = pl.program_id(1)
     c = n_chunks - 1 - ci                       # true chunk index
@@ -205,17 +208,18 @@ def _bwd_kernel(counts_ref, Fg_ref, rays_ref, pix_ref, tbound_ref,
         W_carry = suf_scr[1:2, :]
         MD_carry = suf_scr[2:3, :]
 
-        W_suf = rsuf(w) + W_carry
-        MD_suf = rsuf(wm) + MD_carry
-        A_prev = A_total - w - W_suf
-        D_prev = D_total - wm - MD_suf
-
         # payload phi = dL/dw per (surfel, pixel)
         nphi = jax.lax.dot_general(
             geo["n3"], gN, (((1,), (0,)), ((), ())), precision=hi,
             preferred_element_type=jnp.float32)   # [C, P]
-        phi = (gD * m + gA + nphi
-               + gdist * (m * A_prev - D_prev + MD_suf - m * W_suf))
+        phi = gD * m + gA + nphi
+        if with_dist:
+            W_suf = rsuf(w) + W_carry
+            MD_suf = rsuf(wm) + MD_carry
+            A_prev = A_total - w - W_suf
+            D_prev = D_total - wm - MD_suf
+            phi = phi + gdist * (m * A_prev - D_prev + MD_suf
+                                 - m * W_suf)
 
         S_phi = rsuf(w * phi) + S_phi_carry
         one_m_a = jnp.maximum(1.0 - alpha, 1e-3)
@@ -223,7 +227,9 @@ def _bwd_kernel(counts_ref, Fg_ref, rays_ref, pix_ref, tbound_ref,
         galpha = jnp.where(alpha > 0, galpha, 0.0)
 
         # dL/dm (depth of this surfel) and dL/dn (direct normal payload)
-        gm = w * (gD + gdist * (A_prev - W_suf))
+        gm = w * gD
+        if with_dist:
+            gm = gm + w * gdist * (A_prev - W_suf)
 
         # ---- chain through alpha = min(opa * exp(-rho/2), max) ----
         not_capped = geo["alpha_raw"] < common.ALPHA_MAX
@@ -280,19 +286,22 @@ def _bwd_kernel(counts_ref, Fg_ref, rays_ref, pix_ref, tbound_ref,
         # update suffix carries with this chunk's totals
         suf_scr[0:1, :] = S_phi_carry + jnp.sum(w * phi, axis=0,
                                                 keepdims=True)
-        suf_scr[1:2, :] = W_carry + jnp.sum(w, axis=0, keepdims=True)
-        suf_scr[2:3, :] = MD_carry + jnp.sum(wm, axis=0, keepdims=True)
+        if with_dist:
+            suf_scr[1:2, :] = W_carry + jnp.sum(w, axis=0, keepdims=True)
+            suf_scr[2:3, :] = MD_carry + jnp.sum(wm, axis=0,
+                                                 keepdims=True)
 
 
 def _forward_tiled(F, lists, counts, rays_t, pix_t, *, tile_h, tile_w,
-                   chunk, width):
+                   chunk, width, with_median, with_dist):
     n_tiles, K = lists.shape
     p_tile = tile_h * tile_w
     n_chunks = K // chunk
     Fg = F[lists]                               # [T, K, 16]
     grid = (n_tiles, n_chunks)
     kernel = functools.partial(_fwd_kernel, chunk=chunk, width=width,
-                               n_chunks=n_chunks)
+                               n_chunks=n_chunks, with_median=with_median,
+                               with_dist=with_dist)
     out, tbound = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -327,14 +336,16 @@ def _forward_tiled(F, lists, counts, rays_t, pix_t, *, tile_h, tile_w,
 
 
 def _backward_tiled(F, lists, counts, rays_t, pix_t, tbound, outs, g_tiled,
-                    *, tile_h, tile_w, chunk, width):
+                    *, tile_h, tile_w, chunk, width, with_median,
+                    with_dist):
     n_tiles, K = lists.shape
     p_tile = tile_h * tile_w
     n_chunks = K // chunk
     Fg = F[lists]
     grid = (n_tiles, n_chunks)
     kernel = functools.partial(_bwd_kernel, chunk=chunk, width=width,
-                               n_chunks=n_chunks)
+                               n_chunks=n_chunks, with_median=with_median,
+                               with_dist=with_dist)
 
     def rev(t, c, *_):
         return (t, n_chunks - 1 - c, 0)
@@ -409,9 +420,50 @@ class _StaticArgs(typing.NamedTuple):
     tile_w: int
     chunk: int
     width: int
+    with_median: bool
+    with_dist: bool
 
 
-def rasterize_pallas(xyz, scaling, rotation, opacity, T_cw, K, params):
+class TileAssignment(typing.NamedTuple):
+    """Frozen binning state, reusable across optimization iterations.
+
+    Surfel positions/scales drift slowly during mapping Adam iterations, so
+    the mapper rebins only every ``compute.rebin_every`` steps (with a pixel
+    margin on the binning radius to absorb the drift) and reuses this
+    assignment in between — the per-iteration binning cost amortizes away.
+    """
+    lists: jax.Array   # [T, K] int32
+    counts: jax.Array  # [T] int32
+    rays_t: jax.Array  # [T, 3, P]
+    pix_t: jax.Array   # [T, 2, P]
+
+
+def prepare_tiles(xyz, scaling, rotation, opacity, T_cw, K, params,
+                  margin_px: float = 0.0) -> TileAssignment:
+    """Binning only (non-differentiable): depth sort + tile lists + rays."""
+    height, width = params.height, params.width
+    tile_h, tile_w = params.tile_h, params.tile_w
+    packed = common.pack_surfels(xyz, scaling, rotation, opacity, T_cw, K)
+    packed = jax.lax.stop_gradient(packed)
+    if margin_px > 0:
+        packed = packed._replace(radius_px=jnp.where(
+            packed.radius_px > 0, packed.radius_px + margin_px, 0.0))
+    if params.binner == "sorted":
+        lists, counts, _ = binning.build_tile_lists_sorted(
+            packed, height, width, tile_h, tile_w,
+            params.tile_list_capacity, params.cap_ty, params.cap_tx)
+    else:
+        lists, counts, _ = binning.build_tile_lists(
+            packed, height, width, tile_h, tile_w,
+            params.tile_list_capacity)
+    rays_all, pix_all = binning.tile_rays(K, height, width, tile_h, tile_w)
+    return TileAssignment(lists=lists, counts=counts,
+                          rays_t=jnp.swapaxes(rays_all, 1, 2),
+                          pix_t=jnp.swapaxes(pix_all, 1, 2))
+
+
+def rasterize_pallas(xyz, scaling, rotation, opacity, T_cw, K, params,
+                     tiles: TileAssignment | None = None):
     """Channel dict matching jnp_ref.rasterize_jnp, via the Pallas path."""
     height, width = params.height, params.width
     tile_h, tile_w = params.tile_h, params.tile_w
@@ -422,15 +474,15 @@ def rasterize_pallas(xyz, scaling, rotation, opacity, T_cw, K, params):
     assert cap % chunk == 0, "tile_list_capacity must be a chunk multiple"
 
     packed = common.pack_surfels(xyz, scaling, rotation, opacity, T_cw, K)
-    lists, counts, _ = binning.build_tile_lists(
-        jax.lax.stop_gradient(packed), height, width, tile_h, tile_w, cap)
-    rays_all, pix_all = binning.tile_rays(K, height, width, tile_h, tile_w)
-    rays_t = jnp.swapaxes(rays_all, 1, 2)   # [T, 3, P]
-    pix_t = jnp.swapaxes(pix_all, 1, 2)     # [T, 2, P]
+    if tiles is None:
+        tiles = prepare_tiles(xyz, scaling, rotation, opacity, T_cw, K,
+                              params)
+    lists, counts, rays_t, pix_t = tiles
 
     F = binning.pack_features(packed)
     static = _StaticArgs(tile_h=tile_h, tile_w=tile_w, chunk=chunk,
-                         width=width)
+                         width=width, with_median=params.with_median,
+                         with_dist=params.with_dist)
     out = _raster_core(F, lists, counts, rays_t, pix_t, static)
 
     chans = binning.untile(out, height, width, tile_h, tile_w)

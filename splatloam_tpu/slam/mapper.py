@@ -80,7 +80,10 @@ class MapperPrograms:
         self.params = RenderParams(
             height=height, width=width, backend=cc.backend.value,
             chunk=cc.chunk, tile_h=cc.tile_h, tile_w=cc.tile_w,
-            tile_list_capacity=cc.tile_list_capacity)
+            tile_list_capacity=cc.tile_list_capacity,
+            # mapping losses use expected depth only (+ median iff
+            # depth_ratio > 0); the distortion channel is never in the loss
+            with_median=oc.depth_ratio > 0, with_dist=False)
         self.max_new = int(np.ceil(
             max(mc.densify_percentage, 1e-3) * height * width)) + 1
         self.hyper = S.AdamHyper(lr_xyz=oc.position_lr,
@@ -175,7 +178,7 @@ class MapperPrograms:
     # optimize (ref slam/mapper.py:140-214)
     # ------------------------------------------------------------------
     def _loss(self, params: S.SurfelParams, active, kf: KeyframeBatch,
-              kf_idx):
+              kf_idx, tiles=None):
         mc = self.cfg.mapping
         cam_K = kf.K[kf_idx]
         cam_T = kf.T_cw[kf_idx]
@@ -185,7 +188,8 @@ class MapperPrograms:
         scaling = jnp.exp(params.log_scale)
         opacity = jax.nn.sigmoid(params.logit_opacity) * active
         pkg = render(params.xyz, scaling, params.quat, opacity,
-                     cam_T, cam_K, self.params, self.cfg.opt.depth_ratio)
+                     cam_T, cam_K, self.params, self.cfg.opt.depth_ratio,
+                     tiles=tiles)
 
         est_alpha = pkg["rend_alpha"]
         est_depth = pkg["surf_depth"]
@@ -213,20 +217,44 @@ class MapperPrograms:
 
     def _optimize_impl(self, surfels: S.Surfels, adam: S.AdamState,
                        kf: KeyframeBatch, key):
+        from ..ops.rasterizer.api import prepare_tiles
         grad_fn = jax.value_and_grad(self._loss)
         num_iters = self.cfg.mapping.num_iterations + 1  # ref :150
+        # amortized rebinning: a keyframe view + its tile lists are held
+        # fixed for rebin_every consecutive Adam steps (exact when 1; the
+        # binning radius carries a pixel margin to absorb parameter drift)
+        rebin = max(1, int(self.cfg.compute.rebin_every))
+        n_blocks = (num_iters + rebin - 1) // rebin
 
-        def body(carry, it_key):
+        def block(carry, blk_key):
             surf, st, ema = carry
-            kf_idx = jax.random.categorical(it_key, kf.log_probs)
-            loss, grads = grad_fn(surf.params, surf.active, kf, kf_idx)
-            surf, st = S.adam_step(surf, st, grads, self.hyper)
-            ema = jnp.where(jnp.isnan(ema), loss, 0.1 * loss + 0.9 * ema)
-            return (surf, st, ema), loss
+            kf_idx = jax.random.categorical(blk_key, kf.log_probs)
+            cam_K = kf.K[kf_idx]
+            cam_T = kf.T_cw[kf_idx]
+            scaling = jnp.exp(surf.params.log_scale)
+            opacity = jax.nn.sigmoid(surf.params.logit_opacity) * \
+                surf.active
+            tiles = prepare_tiles(surf.params.xyz, scaling,
+                                  surf.params.quat, opacity, cam_T, cam_K,
+                                  self.params,
+                                  margin_px=self.cfg.compute.bin_margin_px)
 
-        keys = jax.random.split(key, num_iters)
+            def inner(_, c2):
+                surf, st, ema = c2
+                loss, grads = grad_fn(surf.params, surf.active, kf,
+                                      kf_idx, tiles)
+                surf, st = S.adam_step(surf, st, grads, self.hyper)
+                ema = jnp.where(jnp.isnan(ema), loss,
+                                0.1 * loss + 0.9 * ema)
+                return (surf, st, ema)
+
+            surf, st, ema = jax.lax.fori_loop(0, rebin, inner,
+                                              (surf, st, ema))
+            return (surf, st, ema), ema
+
+        keys = jax.random.split(key, n_blocks)
         (surfels, adam, ema), losses = jax.lax.scan(
-            body, (surfels, adam, jnp.float32(jnp.nan)), keys)
+            block, (surfels, adam, jnp.float32(jnp.nan)), keys)
         return surfels, adam, ema, losses
 
     # ------------------------------------------------------------------

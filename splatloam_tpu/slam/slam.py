@@ -22,6 +22,7 @@ from ..model import surfels as S
 from ..model.frame import Frame
 from ..model.local_model import LocalModel
 from ..postprocessing import ResultGraph
+from ..profiling import get_profiler
 from .mapper import Mapper
 from .tracker import Tracker
 
@@ -38,6 +39,8 @@ class SLAM:
         self.date_start = datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
         self.world_T_odom: list[np.ndarray] = []
         self.timestamps: list[float] = []
+        self.profiler = get_profiler()
+        self._keyframes_since_ckpt = 0
 
     def _current_odometry(self) -> np.ndarray:
         wTm = self.local_models[-1].world_T_model
@@ -58,7 +61,8 @@ class SLAM:
             self.timestamps.append(frame.timestamp)
             return
 
-        self.tracker.track(frame)
+        with self.profiler.phase("track"):
+            self.tracker.track(frame)
 
         if self.tracker.require_new_keyframe():
             logger.debug("New keyframe required")
@@ -66,6 +70,7 @@ class SLAM:
                 self.initialize_new_local_model(frame)
             else:
                 self.insert_new_keyframe(frame)
+            self._maybe_checkpoint()
 
         self.frames.append(frame)
         wTf = self._current_odometry()
@@ -79,8 +84,10 @@ class SLAM:
         """(ref slam/slam.py:95-102)"""
         logger.info("Inserting new keyframe")
         self.local_models[-1].insert_keyframe(frame)
-        self.mapper.update_model(frame)
-        self.tracker.register_keyframe(frame)
+        with self.profiler.phase("map_update"):
+            self.mapper.update_model(frame)
+        with self.profiler.phase("register_keyframe"):
+            self.tracker.register_keyframe(frame)
         get_datalogger(self.cfg).log_model(
             "world/model", self.local_models[-1].surfels)
 
@@ -102,6 +109,18 @@ class SLAM:
         self.tracker.register_keyframe(frame)
         self.frames.append(frame)
         get_datalogger(self.cfg).log_model("world/model", lmodel.surfels)
+
+    def _maybe_checkpoint(self) -> None:
+        every = self.cfg.output.checkpoint_every_keyframes
+        ckpt_dir = self.cfg.output.checkpoint_dir
+        if not every or every <= 0 or not ckpt_dir:
+            return
+        self._keyframes_since_ckpt += 1
+        if self._keyframes_since_ckpt >= every:
+            from ..checkpoint import save_checkpoint
+            with self.profiler.phase("checkpoint"):
+                save_checkpoint(ckpt_dir, self)
+            self._keyframes_since_ckpt = 0
 
     def save_results(self) -> Path:
         """Write cfg.yaml / odom.txt / graph.yaml / models/*.ply

@@ -106,7 +106,9 @@ class AlignerGN:
         return RenderParams(height=cam.height, width=cam.width,
                             backend=cc.backend.value, chunk=cc.chunk,
                             tile_h=cc.tile_h, tile_w=cc.tile_w,
-                            tile_list_capacity=cc.tile_list_capacity)
+                            tile_list_capacity=cc.tile_list_capacity,
+                            with_median=self.cfg.opt.depth_ratio > 0,
+                            with_dist=False)
 
     def set_target(self, frame: Frame) -> None:
         """Render the model at the keyframe view (ref :170-181)."""
