@@ -100,7 +100,7 @@ def main():
     total_iters = ITERS * REBIN
 
     rays_per_s = H * W * total_iters / dt
-    msplats_per_s = N_SURFELS * ITERS / dt / 1e6
+    msplats_per_s = N_SURFELS * total_iters / dt / 1e6
     print(json.dumps({
         "metric": "render_fwd_bwd_rays_per_s",
         "value": round(rays_per_s, 1),
@@ -108,7 +108,7 @@ def main():
         "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 4),
         "extra": {
             "msplats_per_s": round(msplats_per_s, 2),
-            "iter_ms": round(dt / ITERS * 1e3, 3),
+            "iter_ms": round(dt / total_iters * 1e3, 3),
             "surfels": N_SURFELS, "image": [H, W],
             "backend": params.backend,
             "device": str(jax.devices()[0]),

@@ -331,7 +331,22 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: repeat runs skip the (tens of
+    seconds per program) TPU compiles."""
+    try:
+        import jax
+        from pathlib import Path as _P
+        cache = _P.home() / ".cache" / "splatloam_xla"
+        cache.mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # cache is an optimization, never fatal
+        logger.debug(f"compilation cache unavailable: {e}")
+
+
 def main(argv=None) -> None:
+    _enable_compilation_cache()
     argv = list(sys.argv[1:] if argv is None else argv)
     # dotted-key overrides (a.b=c) are routed to the config merge
     extra = [a for a in argv if "=" in a and not a.startswith("-")]

@@ -209,6 +209,33 @@ def grow_capacity(surfels: Surfels, state: AdamState, new_capacity: int
             AdamState(mu=mu, nu=nu, step=state.step))
 
 
+def create_from_cloud(xyz: jax.Array, normals: jax.Array,
+                      capacity: int, max_scale: float = 0.5
+                      ) -> tuple[Surfels, AdamState]:
+    """Bootstrap a surfel pool from an oriented point cloud.
+
+    Mirrors ref scene/gaussian_model.py:74-95 (create_from_pcd): scales from
+    3-NN mean square distance clamped to max_scale^2, rotations aligning the
+    surfel normal axis to the given normals, opacity sigma^-1(0.9).
+    """
+    from ..geometry import se3
+    from ..ops import knn
+
+    n = xyz.shape[0]
+    surf = empty_surfels(capacity)
+    adam = empty_adam(capacity)
+    d2 = jnp.clip(knn.mean_sq_dist_knn(xyz), 1e-7, max_scale ** 2)
+    log_scale = jnp.tile(0.5 * jnp.log(d2)[:, None], (1, 2))
+    quat = se3.quat_from_normal(normals)
+    params = SurfelParams(
+        xyz=jnp.asarray(xyz, jnp.float32),
+        log_scale=log_scale.astype(jnp.float32),
+        quat=quat.astype(jnp.float32),
+        logit_opacity=jnp.full((n,), inverse_sigmoid(0.9), jnp.float32))
+    surf, adam, _ = insert_surfels(surf, adam, params, jnp.int32(n))
+    return surf, adam
+
+
 def compact_arrays(surfels: Surfels) -> dict[str, np.ndarray]:
     """Host-side: gather active rows as numpy (for PLY export etc.)."""
     active = np.asarray(surfels.active)

@@ -175,10 +175,16 @@ def _bwd_kernel(counts_ref, Fg_ref, rays_ref, pix_ref, tbound_ref,
     def _():
         suf_scr[...] = jnp.zeros_like(suf_scr)
 
-    dF_ref[...] = jnp.zeros_like(dF_ref)
     count = counts_ref[t]
+    # is this step the real owner of its (possibly clamped) output block?
+    real = c * chunk < count
+
+    @pl.when(real)
+    def _():
+        dF_ref[...] = jnp.zeros_like(dF_ref)
+
     T_start = tbound_ref[0, c, :]               # [P]
-    active = (c * chunk < count) & (jnp.max(T_start) > T_EPS)
+    active = real & (jnp.max(T_start) > T_EPS)
 
     @pl.when(active)
     def _():
@@ -302,13 +308,19 @@ def _forward_tiled(F, lists, counts, rays_t, pix_t, *, tile_h, tile_w,
     kernel = functools.partial(_fwd_kernel, chunk=chunk, width=width,
                                n_chunks=n_chunks, with_median=with_median,
                                with_dist=with_dist)
+    def fg_index(t, c, counts_ref):
+        # clamp past-count chunks to the last needed block: the revisit is
+        # recognized by the pipeline and the DMA is skipped
+        last = jnp.maximum(pl.cdiv(counts_ref[t], chunk) - 1, 0)
+        return (t, jnp.minimum(c, last), 0)
+
     out, tbound = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, chunk, 16), lambda t, c, *_: (t, c, 0),
+                pl.BlockSpec((1, chunk, 16), fg_index,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 3, p_tile), lambda t, c, *_: (t, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -347,8 +359,12 @@ def _backward_tiled(F, lists, counts, rays_t, pix_t, tbound, outs, g_tiled,
                                n_chunks=n_chunks, with_median=with_median,
                                with_dist=with_dist)
 
-    def rev(t, c, *_):
-        return (t, n_chunks - 1 - c, 0)
+    def rev(t, c, counts_ref):
+        # reverse order with past-count chunks clamped to the last needed
+        # block (they run first and are skipped; no DMA is issued for them)
+        cc = n_chunks - 1 - c
+        last = jnp.maximum(pl.cdiv(counts_ref[t], chunk) - 1, 0)
+        return (t, jnp.minimum(cc, last), 0)
 
     dFg = pl.pallas_call(
         kernel,
