@@ -55,8 +55,8 @@ def main():
     # in the loss), tile lists rebuilt once per REBIN-iteration block
     params = RenderParams(height=H, width=W,
                           backend="pallas" if on_tpu else "jnp",
-                          chunk=512, tile_h=8, tile_w=128,
-                          tile_list_capacity=8192,
+                          chunk=256, tile_h=8, tile_w=32,
+                          tile_list_capacity=3072,
                           with_median=False, with_dist=False)
     REBIN = 8
     rng = np.random.default_rng(0)

@@ -208,13 +208,14 @@ class ComputeConfig:
     initial_capacity: int = 32768
     # Static keyframe-slot count per submap (pad-to-fixed for jit stability).
     keyframe_capacity: int = 32
-    # Rasterizer tile size (rows, cols) — (8, 128) matches the fp32 VPU tile.
+    # Rasterizer tile size (rows, cols): small, angularly-square-ish tiles
+    # minimize wasted surfel x pixel work (measured on v5e).
     tile_h: int = 8
-    tile_w: int = 128
+    tile_w: int = 32
     # Per-tile surfel list capacity (depth-ordered; overflow drops farthest).
-    tile_list_capacity: int = 8192
+    tile_list_capacity: int = 3072
     # Chunk of surfels composited per kernel step.
-    chunk: int = 512
+    chunk: int = 256
     # Max anisotropic splat radius in multiples of sigma used for tile binning.
     sigma_cut: float = 3.0
     # Rebuild tile lists every N mapping iterations (1 = exact per-step

@@ -26,8 +26,8 @@ class RenderParams(NamedTuple):
     backend: str = "auto"
     chunk: int = 256
     tile_h: int = 8
-    tile_w: int = 128
-    tile_list_capacity: int = 4096
+    tile_w: int = 32
+    tile_list_capacity: int = 3072
     # median/distortion channels cost extra prefix scans in the Pallas
     # kernels; the mapping/tracking losses use neither (depth_ratio=0 in
     # all reference configs), so callers may disable them.
@@ -36,7 +36,7 @@ class RenderParams(NamedTuple):
     # binner: "sorted" (capped window, fast) or "exact" (unbounded
     # coverage via per-tile scatter; used by parity tests)
     binner: str = "sorted"
-    cap_ty: int = 5
+    cap_ty: int = 9
     cap_tx: int = 5
 
 
