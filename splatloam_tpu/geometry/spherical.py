@@ -141,7 +141,15 @@ def depth_to_normal(depth: jax.Array, K: jax.Array,
     # viewer-facing normal flip (the mapper's normal loss needs both signs
     # to agree, ref slam/mapper.py:177-179).
     n = jnp.cross(dy, dx)
-    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    # double-where safe normalize: a plain x/max(||x||, eps) has a NaN
+    # jacobian at exactly-degenerate pixels (empty regions where dx=dy=0),
+    # which poisons gradients even under zero cotangents
+    norm2 = jnp.sum(n * n, axis=-1, keepdims=True)
+    degenerate = norm2 <= 1e-24
+    n_safe = jnp.where(degenerate, jnp.array([0.0, 0.0, 1.0], n.dtype), n)
+    n_safe = n_safe / jnp.sqrt(
+        jnp.sum(n_safe * n_safe, axis=-1, keepdims=True))
+    n = jnp.where(degenerate, 0.0, n_safe)
     out = jnp.zeros_like(pts)
     return out.at[1:-1, 1:-1].set(n)
 

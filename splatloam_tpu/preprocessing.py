@@ -9,6 +9,9 @@ of times per run.
 """
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -20,6 +23,25 @@ from .model.frame import Frame
 from .ops import projection
 
 logger = get_logger("preprocessing")
+
+
+@partial(jax.jit, static_argnames=("height", "width", "depth_min",
+                                   "depth_max"))
+def _preprocess_device(pts, pmask, normals, height: int, width: int,
+                       depth_min: float, depth_max: float):
+    """One fused device program: intrinsics fit + z-buffer + image gathers.
+
+    A single jit keeps per-frame host<->device round trips to two transfers
+    (cloud up, Frame tensors stay on device) — eager per-op dispatch is
+    painfully slow on remote-attached TPUs.
+    """
+    K, vfov, hfov = spherical.spherical_intrinsics(pts, height, width,
+                                                   valid=pmask)
+    depth, lut, valid = projection.build_range_image(
+        pts, pmask, K, height, width, depth_min, depth_max)
+    normal_img = normals[jnp.clip(lut, 0, None)]
+    normal_img = jnp.where(valid[..., None], normal_img, 0.0)
+    return K, depth, normal_img, valid
 
 
 def _bucket_size(n: int, minimum: int = 4096) -> int:
@@ -46,20 +68,13 @@ class Preprocessor:
         mask = np.zeros((padded,), bool)
         mask[:n] = True
 
-        pts = jnp.asarray(buf)
-        pmask = jnp.asarray(mask)
-        K, vfov, hfov = spherical.spherical_intrinsics(
-            pts, pcfg.image_height, pcfg.image_width, valid=pmask)
-        depth, lut, valid = projection.build_range_image(
-            pts, pmask, K, pcfg.image_height, pcfg.image_width,
-            pcfg.depth_min, pcfg.depth_max)
-
-        # normal image: gather per-point normals through the LUT (ref :59-64)
-        normals = self.compute_normals(buf, np.asarray(mask))
-        lut_np = np.asarray(lut)
-        valid_np = np.asarray(valid)
-        normal_img = normals[np.clip(lut_np, 0, None)]
-        normal_img[~valid_np] = 0.0
+        # per-point normals first (host: trivial toward-sensor math or the
+        # optional PCA path), then one fused device program does the rest
+        normals = self.compute_normals(buf, mask)
+        K, depth, normal_img, valid = _preprocess_device(
+            jnp.asarray(buf), jnp.asarray(mask), jnp.asarray(normals),
+            pcfg.image_height, pcfg.image_width,
+            float(pcfg.depth_min), float(pcfg.depth_max))
 
         camera = make_camera(K=K, depth=depth, normal=normal_img,
                              valid=valid)

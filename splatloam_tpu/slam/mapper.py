@@ -276,13 +276,25 @@ class MapperPrograms:
 
 class Mapper:
     """Host-side orchestration around MapperPrograms
-    (ref slam/mapper.py:20-47)."""
+    (ref slam/mapper.py:20-47).
+
+    With cfg.parallel.data*model > 1 the optimize phase runs through the
+    sharded train step (parallel/sharded.py): surfels/Adam sharded over the
+    "model" axis, image rows over "data", keyframes sampled host-side per
+    iteration.
+    """
 
     def __init__(self, cfg: Configuration):
         self.cfg = cfg
         self.model: LocalModel | None = None
         self._programs: dict[tuple, MapperPrograms] = {}
         self._key = jax.random.PRNGKey(0)
+        self._mesh = None
+        self._sharded_steps: dict[tuple, object] = {}
+        pc = cfg.parallel
+        if pc.data * pc.model > 1:
+            from ..parallel import make_mesh
+            self._mesh = make_mesh(data=pc.data, model=pc.model)
 
     def register_model(self, model: LocalModel) -> None:
         self.model = model
@@ -321,6 +333,47 @@ class Mapper:
             valid=stack(lambda c: c.valid, (h, w), bool),
             log_probs=jnp.asarray(log_probs))
 
+    def _optimize_sharded(self, model: LocalModel, progs: MapperPrograms):
+        """Multi-device optimize: host-side keyframe sampling, sharded
+        render+loss+Adam per iteration (parallel/sharded.py)."""
+        import numpy as np
+
+        from ..model import surfels as S
+        from ..parallel.sharded import (shard_model_state,
+                                        sharded_train_step)
+
+        mc = self.cfg.mapping
+        sig = (progs.height, progs.width, progs.capacity)
+        if sig not in self._sharded_steps:
+            self._sharded_steps[sig] = sharded_train_step(
+                self._mesh, progs.params, self.hyper_for(progs),
+                lambda_alpha=mc.opt_lambda_alpha,
+                lambda_normal=mc.opt_lambda_normal,
+                scaling_max=mc.opt_scaling_max,
+                scaling_max_penalty=mc.opt_scaling_max_penalty,
+                depth_ratio=self.cfg.opt.depth_ratio)
+        step = self._sharded_steps[sig]
+
+        surf_sh, adam_sh = shard_model_state(self._mesh, model.surfels,
+                                             model.adam)
+        n_kf = len(model.keyframes)
+        probs = sample_geometric_probs(n_kf, mc.prob_view_last_keyframe,
+                                       n_kf)
+        rng = np.random.default_rng(int(self._next_key()[0]))
+        ema = None
+        for _ in range(mc.num_iterations + 1):
+            kf = model.keyframes[rng.choice(n_kf, p=probs[:n_kf])]
+            cam = kf.camera_in_model()
+            surf_sh, adam_sh, loss = step(surf_sh, adam_sh, cam.K,
+                                          cam.T_cw, cam.depth, cam.valid)
+            loss = float(loss)
+            ema = loss if ema is None else 0.1 * loss + 0.9 * ema
+        model.surfels, model.adam = surf_sh, adam_sh
+        return ema
+
+    def hyper_for(self, progs: MapperPrograms):
+        return progs.hyper
+
     def update_model(self, frame: Frame, initialize_model: bool = False
                      ) -> None:
         """densify -> optimize -> prune (ref slam/mapper.py:33-47)."""
@@ -342,12 +395,16 @@ class Mapper:
         # optimize program only recompiles when a new bucket is reached
         bucket = max(int(self.cfg.compute.keyframe_capacity), 1)
         kf_cap = ((len(model.keyframes) + bucket - 1) // bucket) * bucket
-        kf = self._stack_keyframes(kf_cap)
-        model.surfels, model.adam, ema, losses = progs._optimize(
-            model.surfels, model.adam, kf, self._next_key())
+        if self._mesh is not None:
+            ema = self._optimize_sharded(model, progs)
+        else:
+            kf = self._stack_keyframes(kf_cap)
+            model.surfels, model.adam, ema, losses = progs._optimize(
+                model.surfels, model.adam, kf, self._next_key())
         logger.debug(f"optimize done, loss_ema={float(ema):.4f}")
 
         model.surfels, n_pruned = progs._prune(model.surfels)
         logger.info(f"Pruning {int(n_pruned)} gaussians")
+        self._last_ema = ema
         logger.info(f"Model updated. | No. primitives = "
                     f"{model.no_gaussians}, {model.size_mb:.2f} MB")
