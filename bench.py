@@ -21,6 +21,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from splatloam_tpu.cli import _enable_compilation_cache
+_enable_compilation_cache()
+
 BASELINE_RAYS_PER_S = 5.0e7
 H, W = 64, 1024
 N_SURFELS = 100_000

@@ -24,9 +24,49 @@ class LocalModel:
         cap = int(cfg.compute.initial_capacity)
         self.surfels = S.empty_surfels(cap)
         self.adam = S.empty_adam(cap)
+        self.kf_stack: dict | None = None
 
     def insert_keyframe(self, frame: Frame) -> None:
         self.keyframes.append(frame)
+        self._append_kf_stack(frame)
+
+    def _append_kf_stack(self, frame: Frame) -> None:
+        """Incremental device-side keyframe stack (padded to bucket
+        multiples): avoids re-staging every keyframe image through the host
+        on each mapping update."""
+        import jax.numpy as jnp
+        cam = frame.camera_in_model()
+        bucket = max(int(self.cfg.compute.keyframe_capacity), 1)
+        idx = len(self.keyframes) - 1
+        if self.kf_stack is None or idx >= self.kf_stack["K"].shape[0]:
+            cap = ((idx + bucket) // bucket) * bucket
+            new = {
+                "K": jnp.zeros((cap, 3, 3), jnp.float32),
+                "T_cw": jnp.zeros((cap, 4, 4), jnp.float32),
+                "depth": jnp.zeros((cap, cam.height, cam.width),
+                                   jnp.float32),
+                "valid": jnp.zeros((cap, cam.height, cam.width), bool),
+            }
+            if self.kf_stack is not None:
+                old_n = self.kf_stack["K"].shape[0]
+                new = {k: v.at[:old_n].set(self.kf_stack[k])
+                       for k, v in new.items()}
+            self.kf_stack = new
+        self.kf_stack = {
+            "K": self.kf_stack["K"].at[idx].set(cam.K),
+            "T_cw": self.kf_stack["T_cw"].at[idx].set(cam.T_cw),
+            "depth": self.kf_stack["depth"].at[idx].set(cam.depth),
+            "valid": self.kf_stack["valid"].at[idx].set(cam.valid),
+        }
+
+    def rebuild_kf_stack(self) -> None:
+        """Re-stage all keyframes (after checkpoint restore)."""
+        self.kf_stack = None
+        frames = list(self.keyframes)
+        self.keyframes = []
+        for f in frames:
+            self.keyframes.append(f)
+            self._append_kf_stack(f)
 
     def require_new_model(self) -> bool:
         """Submap rollover predicate (ref slam/local_model.py:19-35)."""

@@ -160,6 +160,15 @@ def untile(chans_tiled: jax.Array, height: int, width: int, tile_h: int,
     return a.transpose(2, 0, 3, 1, 4).reshape(n_ch, height, width)
 
 
+def untile_px(chans_tiled: jax.Array, height: int, width: int, tile_h: int,
+              tile_w: int) -> jax.Array:
+    """[T, P, C_ch] (pixel-major kernel output) -> [C_ch, H, W]."""
+    ty, tx = height // tile_h, width // tile_w
+    n_ch = chans_tiled.shape[2]
+    a = chans_tiled.reshape(ty, tx, tile_h, tile_w, n_ch)
+    return a.transpose(4, 0, 2, 1, 3).reshape(n_ch, height, width)
+
+
 def pack_features(packed: common.PackedSurfels) -> jax.Array:
     """PackedSurfels -> F [N+1, 16] (last row = zero padding target).
 

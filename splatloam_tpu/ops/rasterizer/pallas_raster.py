@@ -41,41 +41,43 @@ def _interpret() -> bool:
 
 
 def _scan_rows(x, exclusive: bool):
-    """Prefix sum along axis 0 (the chunk axis) via log-shift adds."""
-    c = x.shape[0]
-    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    """Prefix sum along the surfel (lane) axis 1 via log-shift adds."""
+    c = x.shape[1]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     shift = 1
     while shift < c:
-        rolled = pltpu.roll(x, shift, axis=0)
-        x = x + jnp.where(rows >= shift, rolled, 0.0)
+        rolled = pltpu.roll(x, shift, axis=1)
+        x = x + jnp.where(lanes >= shift, rolled, 0.0)
         shift *= 2
     if exclusive:
-        rolled = pltpu.roll(x, 1, axis=0)
-        x = jnp.where(rows >= 1, rolled, 0.0)
+        rolled = pltpu.roll(x, 1, axis=1)
+        x = jnp.where(lanes >= 1, rolled, 0.0)
     return x
 
 
 def _splat_geometry(F, rays, pix, width):
-    """Shared fwd/bwd geometry: returns a dict of [C, P] / [C, 1] arrays.
+    """Shared fwd/bwd geometry: returns a dict of [P, C] / [1, C] arrays.
 
-    F [C, 16] packed features; rays [3, P]; pix [2, P].
+    F [16, C] feature-major; rays [P, 3]; pix [P, 2].  Pixels live on
+    sublanes, surfels on lanes (so the chunk axis is the 128-lane axis and
+    the HBM chunk DMA slices stay lane-aligned).
     """
     hi = jax.lax.Precision.HIGHEST
-    p3, gu3, gv3, n3 = F[:, 0:3], F[:, 3:6], F[:, 6:9], F[:, 9:12]
-    opa = F[:, 12:13]
-    depth_c = F[:, 13:14]
-    cx = F[:, 14:15]
-    cy = F[:, 15:16]
+    p3, gu3, gv3, n3 = F[0:3], F[3:6], F[6:9], F[9:12]      # [3, C]
+    opa = F[12:13]
+    depth_c = F[13:14]
+    cx = F[14:15]
+    cy = F[15:16]
 
-    def dotr(a):  # [C, 3] x [3, P] -> [C, P]
-        return jax.lax.dot_general(a, rays, (((1,), (0,)), ((), ())),
+    def dotr(a):  # rays [P, 3] x a [3, C] -> [P, C]
+        return jax.lax.dot_general(rays, a, (((1,), (0,)), ((), ())),
                                    precision=hi,
                                    preferred_element_type=jnp.float32)
 
     A1, A2, A3 = dotr(gu3), dotr(gv3), dotr(n3)
-    np_ = jnp.sum(n3 * p3, axis=1, keepdims=True)
-    pgu = jnp.sum(p3 * gu3, axis=1, keepdims=True)
-    pgv = jnp.sum(p3 * gv3, axis=1, keepdims=True)
+    np_ = jnp.sum(n3 * p3, axis=0, keepdims=True)           # [1, C]
+    pgu = jnp.sum(p3 * gu3, axis=0, keepdims=True)
+    pgv = jnp.sum(p3 * gv3, axis=0, keepdims=True)
 
     denom = jnp.where(jnp.abs(A3) < 1e-8, 1e-8, A3)
     tstar = np_ / denom
@@ -83,9 +85,9 @@ def _splat_geometry(F, rays, pix, width):
     vv = tstar * A2 - pgv
     rho3 = uu * uu + vv * vv
 
-    dx = pix[0:1, :] - cx
+    dx = pix[:, 0:1] - cx
     dx = dx - jnp.round(dx * (1.0 / width)) * width
-    dy = pix[1:2, :] - cy
+    dy = pix[:, 1:2] - cy
     rho2 = common.FILTER_INV_SQUARE * (dx * dx + dy * dy)
 
     use2 = rho2 < rho3
@@ -103,199 +105,226 @@ def _splat_geometry(F, rays, pix, width):
                 alpha=alpha, ok=ok, dx=dx, dy=dy)
 
 
-def _fwd_kernel(counts_ref, Fg_ref, rays_ref, pix_ref,
-                out_ref, tbound_ref, t_scr,
+def _fwd_kernel(counts_ref, Fg_hbm, rays_ref, pix_ref,
+                out_ref, tbound_ref, fg_buf, dma_sem,
                 *, chunk, width, n_chunks, with_median, with_dist):
+    """1-D tile grid; dynamic in-kernel loop over this tile's chunks.
+
+    Fg stays in HBM and chunk slices are DMA'd on demand, so the cost per
+    tile is O(count/chunk) rather than O(K/chunk) grid steps, and the
+    transmittance early-exit truly stops the loop (sparse submaps and
+    saturated tiles pay only for work that exists).
+    """
     t = pl.program_id(0)
-    c = pl.program_id(1)
-
-    @pl.when(c == 0)
-    def _():
-        out_ref[...] = jnp.zeros_like(out_ref)
-        out_ref[0, 7, :] = jnp.ones_like(out_ref[0, 7, :])  # T_final = 1
-        t_scr[...] = jnp.ones_like(t_scr)
-
-    T_carry = t_scr[0, :]                       # [P]
-    tbound_ref[0, c, :] = T_carry
     count = counts_ref[t]
-    active = (c * chunk < count) & (jnp.max(T_carry) > T_EPS)
+    n_act = pl.cdiv(count, chunk)
+    rays = rays_ref[0]                      # [P, 3]
+    pix = pix_ref[0]                        # [P, 2]
+    p_tile = rays.shape[0]
 
-    @pl.when(active)
-    def _():
-        geo = _splat_geometry(Fg_ref[0], rays_ref[0], pix_ref[0], width)
-        alpha, m = geo["alpha"], geo["m"]
+    def fetch(i):
+        start = pl.multiple_of(i * chunk, chunk)
+        return pltpu.make_async_copy(
+            Fg_hbm.at[t, :, pl.ds(start, chunk)],
+            fg_buf.at[0], dma_sem.at[0])
+
+    def cond(state):
+        i = state[0]
+        return (i < n_act) & (jnp.max(state[1]) > T_EPS)
+
+    def body(state):
+        (i, T_carry, d_sum, a_sum, n_sum, med, dist) = state
+        dma = fetch(i)
+        dma.start()
+        dma.wait()
+        F = fg_buf[0]
+        # dynamic-index stores must be lane/sublane aligned; n_chunks is
+        # small, so select the row with a static predicated chain instead
+        for j in range(n_chunks):
+            @pl.when(i == j)
+            def _(j=j):
+                tbound_ref[0, j, :] = T_carry
+
+        geo = _splat_geometry(F, rays, pix, width)
+        alpha, m = geo["alpha"], geo["m"]       # [P, C]
         logt = jnp.log1p(-alpha)
         texc = jnp.exp(_scan_rows(logt, exclusive=True))
-        Ti = T_carry[None, :] * texc            # [C, P]
+        Ti = T_carry[:, None] * texc            # [P, C]
         w = alpha * Ti
         wm = w * m
-
         hi = jax.lax.Precision.HIGHEST
-        D_carry = out_ref[0, 0, :]
-        A_carry = out_ref[0, 1, :]
-        if with_dist:
-            # distortion uses prefix sums BEFORE this chunk's update
-            a_prev = A_carry[None, :] + _scan_rows(w, exclusive=True)
-            d_prev = D_carry[None, :] + _scan_rows(wm, exclusive=True)
-            out_ref[0, 6, :] += jnp.sum(w * (m * a_prev - d_prev), axis=0)
 
-        out_ref[0, 0, :] = D_carry + jnp.sum(wm, axis=0)
-        out_ref[0, 1, :] = A_carry + jnp.sum(w, axis=0)
-        nsum = jax.lax.dot_general(
-            geo["n3"], w, (((0,), (0,)), ((), ())), precision=hi,
-            preferred_element_type=jnp.float32)   # [3, P]
-        out_ref[0, 2:5, :] += nsum
+        if with_dist:
+            a_prev = a_sum[:, None] + _scan_rows(w, exclusive=True)
+            d_prev = d_sum[:, None] + _scan_rows(wm, exclusive=True)
+            dist = dist + jnp.sum(w * (m * a_prev - d_prev), axis=1)
 
         if with_median:
-            # median: first crossing of T below 0.5 (sentinel 0 = unfound)
             t_after = Ti * (1.0 - alpha)
             crossing = ((Ti > 0.5) & (t_after <= 0.5) &
                         (alpha > 0)).astype(jnp.float32)
             first = crossing * (_scan_rows(crossing,
                                            exclusive=False) == 1.0)
-            d_first = jnp.sum(first * m, axis=0)
-            any_c = jnp.sum(first, axis=0) > 0
-            med_prev = out_ref[0, 5, :]
-            out_ref[0, 5, :] = jnp.where((med_prev == 0.0) & any_c,
-                                         d_first, med_prev)
+            d_first = jnp.sum(first * m, axis=1)
+            any_c = jnp.sum(first, axis=1) > 0
+            med = jnp.where((med == 0.0) & any_c, d_first, med)
 
-        T_new = T_carry * jnp.exp(jnp.sum(logt, axis=0))
-        t_scr[0, :] = T_new
-        out_ref[0, 7, :] = T_new
+        d_sum = d_sum + jnp.sum(wm, axis=1)
+        a_sum = a_sum + jnp.sum(w, axis=1)
+        # n_sum [P, 3]: sum_c w[p, c] * n3[k, c]
+        n_sum = n_sum + jax.lax.dot_general(
+            w, geo["n3"], (((1,), (1,)), ((), ())), precision=hi,
+            preferred_element_type=jnp.float32)
+        T_carry = T_carry * jnp.exp(jnp.sum(logt, axis=1))
+        return (i + 1, T_carry, d_sum, a_sum, n_sum, med, dist)
+
+    zeros = jnp.zeros((p_tile,), jnp.float32)
+    init = (jnp.int32(0), jnp.ones((p_tile,), jnp.float32), zeros, zeros,
+            jnp.zeros((p_tile, 3), jnp.float32), zeros, zeros)
+    (_, T_carry, d_sum, a_sum, n_sum, med, dist) = \
+        jax.lax.while_loop(cond, body, init)
+    out_ref[0, :, 0] = d_sum
+    out_ref[0, :, 1] = a_sum
+    out_ref[0, :, 2:5] = n_sum
+    out_ref[0, :, 5] = med
+    out_ref[0, :, 6] = dist
+    out_ref[0, :, 7] = T_carry
 
 
-def _bwd_kernel(counts_ref, Fg_ref, rays_ref, pix_ref, tbound_ref,
-                outs_ref, g_ref, dF_ref, suf_scr,
+def _bwd_kernel(counts_ref, Fg_hbm, rays_ref, pix_ref, tbound_ref,
+                outs_ref, g_ref, dF_ref, fg_buf, dma_sem,
                 *, chunk, width, n_chunks, with_median, with_dist):
+    """Reverse dynamic chunk loop per tile with O(P) suffix carries."""
     t = pl.program_id(0)
-    ci = pl.program_id(1)
-    c = n_chunks - 1 - ci                       # true chunk index
-
-    @pl.when(ci == 0)
-    def _():
-        suf_scr[...] = jnp.zeros_like(suf_scr)
-
     count = counts_ref[t]
-    # is this step the real owner of its (possibly clamped) output block?
-    real = c * chunk < count
+    n_act = pl.cdiv(count, chunk)
+    rays = rays_ref[0]                      # [P, 3]
+    pix = pix_ref[0]                        # [P, 2]
+    p_tile = rays.shape[0]
+    hi = jax.lax.Precision.HIGHEST
+    dF_ref[...] = jnp.zeros_like(dF_ref)
 
-    @pl.when(real)
-    def _():
-        dF_ref[...] = jnp.zeros_like(dF_ref)
+    gD = g_ref[0, :, 0:1]                   # [P, 1]
+    gA = g_ref[0, :, 1:2]
+    gN = g_ref[0, :, 2:5]                   # [P, 3]
+    gdist = g_ref[0, :, 6:7]
+    A_total = outs_ref[0, :, 1:2]
+    D_total = outs_ref[0, :, 0:1]
 
-    T_start = tbound_ref[0, c, :]               # [P]
-    active = real & (jnp.max(T_start) > T_EPS)
+    def fetch(i):
+        start = pl.multiple_of(i * chunk, chunk)
+        return pltpu.make_async_copy(
+            Fg_hbm.at[t, :, pl.ds(start, chunk)],
+            fg_buf.at[0], dma_sem.at[0])
 
-    @pl.when(active)
-    def _():
-        hi = jax.lax.Precision.HIGHEST
-        rays = rays_ref[0]
-        geo = _splat_geometry(Fg_ref[0], rays, pix_ref[0], width)
-        alpha, m = geo["alpha"], geo["m"]
-        logt = jnp.log1p(-alpha)
-        Ti = T_start[None, :] * jnp.exp(_scan_rows(logt, exclusive=True))
-        w = alpha * Ti
-        wm = w * m
+    def body(ci, carry):
+        S_phi_carry, W_carry, MD_carry = carry
+        i = n_act - 1 - ci
+        T_start = jnp.zeros((p_tile,), jnp.float32)
+        for j in range(n_chunks):
+            T_start = jnp.where(i == j, tbound_ref[0, j, :], T_start)
 
-        gD = g_ref[0, 0:1, :]                   # [1, P]
-        gA = g_ref[0, 1:2, :]
-        gN = g_ref[0, 2:5, :]                   # [3, P]
-        gdist = g_ref[0, 6:7, :]
-        A_total = outs_ref[0, 1:2, :]
-        D_total = outs_ref[0, 0:1, :]
+        def live(carry):
+            S_phi_carry, W_carry, MD_carry = carry
+            dma = fetch(i)
+            dma.start()
+            dma.wait()
+            F = fg_buf[0]
+            geo = _splat_geometry(F, rays, pix, width)
+            alpha, m = geo["alpha"], geo["m"]       # [P, C]
+            logt = jnp.log1p(-alpha)
+            Ti = T_start[:, None] * jnp.exp(
+                _scan_rows(logt, exclusive=True))
+            w = alpha * Ti
+            wm = w * m
 
-        # suffix sums over later surfels: within-chunk reverse-exclusive
-        # cumsum + carry from later chunks (processed first)
-        def rsuf(x):
-            tot = jnp.sum(x, axis=0, keepdims=True)
-            return tot - _scan_rows(x, exclusive=False)
+            def rsuf(x):
+                tot = jnp.sum(x, axis=1, keepdims=True)
+                return tot - _scan_rows(x, exclusive=False)
 
-        S_phi_carry = suf_scr[0:1, :]
-        W_carry = suf_scr[1:2, :]
-        MD_carry = suf_scr[2:3, :]
-
-        # payload phi = dL/dw per (surfel, pixel)
-        nphi = jax.lax.dot_general(
-            geo["n3"], gN, (((1,), (0,)), ((), ())), precision=hi,
-            preferred_element_type=jnp.float32)   # [C, P]
-        phi = gD * m + gA + nphi
-        if with_dist:
-            W_suf = rsuf(w) + W_carry
-            MD_suf = rsuf(wm) + MD_carry
-            A_prev = A_total - w - W_suf
-            D_prev = D_total - wm - MD_suf
-            phi = phi + gdist * (m * A_prev - D_prev + MD_suf
-                                 - m * W_suf)
-
-        S_phi = rsuf(w * phi) + S_phi_carry
-        one_m_a = jnp.maximum(1.0 - alpha, 1e-3)
-        galpha = Ti * phi - S_phi / one_m_a
-        galpha = jnp.where(alpha > 0, galpha, 0.0)
-
-        # dL/dm (depth of this surfel) and dL/dn (direct normal payload)
-        gm = w * gD
-        if with_dist:
-            gm = gm + w * gdist * (A_prev - W_suf)
-
-        # ---- chain through alpha = min(opa * exp(-rho/2), max) ----
-        not_capped = geo["alpha_raw"] < common.ALPHA_MAX
-        live = geo["ok"] & not_capped
-        g_opa_px = jnp.where(live, galpha * geo["g_exp"], 0.0)
-        g_rho = jnp.where(live, galpha * (-0.5) * geo["alpha_raw"], 0.0)
-
-        use2 = geo["use2"]
-        u3 = jnp.logical_not(use2)
-        # 3d branch
-        g_u = jnp.where(u3, g_rho * 2.0 * geo["uu"], 0.0)
-        g_v = jnp.where(u3, g_rho * 2.0 * geo["vv"], 0.0)
-        g_t = (g_u * geo["A1"] + g_v * geo["A2"]
-               + jnp.where(u3, gm, 0.0))
-        g_np = g_t / geo["A3"]
-        g_A3 = -g_t * geo["tstar"] / geo["A3"]
-        g_A1 = g_u * geo["tstar"]
-        g_A2 = g_v * geo["tstar"]
-        # 2d branch
-        g_dx = jnp.where(use2, g_rho * 2.0 * common.FILTER_INV_SQUARE *
-                         geo["dx"], 0.0)
-        g_dy = jnp.where(use2, g_rho * 2.0 * common.FILTER_INV_SQUARE *
-                         geo["dy"], 0.0)
-
-        def sum_px(x):  # [C, P] -> [C, 1]
-            return jnp.sum(x, axis=1, keepdims=True)
-
-        def dot_rays(x):  # [C, P] x [P, 3] -> [C, 3]
-            return jax.lax.dot_general(
-                x, rays, (((1,), (1,)), ((), ())), precision=hi,
+            # nphi [P, C]: sum_k gN[p, k] * n3[k, c]
+            nphi = jax.lax.dot_general(
+                gN, geo["n3"], (((1,), (0,)), ((), ())), precision=hi,
                 preferred_element_type=jnp.float32)
+            phi = gD * m + gA + nphi
+            if with_dist:
+                W_suf = rsuf(w) + W_carry
+                MD_suf = rsuf(wm) + MD_carry
+                A_prev = A_total - w - W_suf
+                D_prev = D_total - wm - MD_suf
+                phi = phi + gdist * (m * A_prev - D_prev + MD_suf
+                                     - m * W_suf)
 
-        s_g_np = sum_px(g_np)
-        s_g_u = sum_px(g_u)
-        s_g_v = sum_px(g_v)
-        d_gu = dot_rays(g_A1) - s_g_u * geo["p3"]
-        d_gv = dot_rays(g_A2) - s_g_v * geo["p3"]
-        # dL/dn: t* chain + n.p chain + direct normal-channel payload w*gN
-        d_n = (dot_rays(g_A3) + s_g_np * geo["p3"]
-               + jax.lax.dot_general(w, gN, (((1,), (1,)), ((), ())),
-                                     precision=hi,
-                                     preferred_element_type=jnp.float32))
-        d_p = (s_g_np * geo["n3"] - s_g_u * geo["gu3"]
-               - s_g_v * geo["gv3"])
-        d_opa = sum_px(g_opa_px)
-        d_depth = sum_px(jnp.where(use2, gm, 0.0))
-        d_cx = sum_px(-g_dx)
-        d_cy = sum_px(-g_dy)
+            S_phi = rsuf(w * phi) + S_phi_carry
+            one_m_a = jnp.maximum(1.0 - alpha, 1e-3)
+            galpha = Ti * phi - S_phi / one_m_a
+            galpha = jnp.where(alpha > 0, galpha, 0.0)
+            gm = w * gD
+            if with_dist:
+                gm = gm + w * gdist * (A_prev - W_suf)
 
-        dF = jnp.concatenate(
-            [d_p, d_gu, d_gv, d_n, d_opa, d_depth, d_cx, d_cy], axis=1)
-        dF_ref[0] = dF
+            not_capped = geo["alpha_raw"] < common.ALPHA_MAX
+            live_px = geo["ok"] & not_capped
+            g_opa_px = jnp.where(live_px, galpha * geo["g_exp"], 0.0)
+            g_rho = jnp.where(live_px,
+                              galpha * (-0.5) * geo["alpha_raw"], 0.0)
+            use2 = geo["use2"]
+            u3 = jnp.logical_not(use2)
+            g_u = jnp.where(u3, g_rho * 2.0 * geo["uu"], 0.0)
+            g_v = jnp.where(u3, g_rho * 2.0 * geo["vv"], 0.0)
+            g_t = (g_u * geo["A1"] + g_v * geo["A2"]
+                   + jnp.where(u3, gm, 0.0))
+            g_np = g_t / geo["A3"]
+            g_A3 = -g_t * geo["tstar"] / geo["A3"]
+            g_A1 = g_u * geo["tstar"]
+            g_A2 = g_v * geo["tstar"]
+            g_dx = jnp.where(use2, g_rho * 2.0 *
+                             common.FILTER_INV_SQUARE * geo["dx"], 0.0)
+            g_dy = jnp.where(use2, g_rho * 2.0 *
+                             common.FILTER_INV_SQUARE * geo["dy"], 0.0)
 
-        # update suffix carries with this chunk's totals
-        suf_scr[0:1, :] = S_phi_carry + jnp.sum(w * phi, axis=0,
+            def sum_px(x):  # [P, C] -> [1, C]
+                return jnp.sum(x, axis=0, keepdims=True)
+
+            def dot_rays(x):  # sum_p rays[p, k] x[p, c] -> [3, C]
+                return jax.lax.dot_general(
+                    rays, x, (((0,), (0,)), ((), ())), precision=hi,
+                    preferred_element_type=jnp.float32)
+
+            s_g_np = sum_px(g_np)
+            s_g_u = sum_px(g_u)
+            s_g_v = sum_px(g_v)
+            d_gu = dot_rays(g_A1) - s_g_u * geo["p3"]
+            d_gv = dot_rays(g_A2) - s_g_v * geo["p3"]
+            # direct normal payload: sum_p gN[p,k] w[p,c] -> [3, C]
+            d_n = (dot_rays(g_A3) + s_g_np * geo["p3"]
+                   + jax.lax.dot_general(
+                       gN, w, (((0,), (0,)), ((), ())), precision=hi,
+                       preferred_element_type=jnp.float32))
+            d_p = (s_g_np * geo["n3"] - s_g_u * geo["gu3"]
+                   - s_g_v * geo["gv3"])
+            dF = jnp.concatenate(
+                [d_p, d_gu, d_gv, d_n, sum_px(g_opa_px),
+                 sum_px(jnp.where(use2, gm, 0.0)),
+                 sum_px(-g_dx), sum_px(-g_dy)], axis=0)   # [16, C]
+            dF_ref[0, :, pl.ds(pl.multiple_of(i * chunk, chunk),
+                               chunk)] = dF
+
+            S_phi_carry = S_phi_carry + jnp.sum(w * phi, axis=1,
                                                 keepdims=True)
-        if with_dist:
-            suf_scr[1:2, :] = W_carry + jnp.sum(w, axis=0, keepdims=True)
-            suf_scr[2:3, :] = MD_carry + jnp.sum(wm, axis=0,
-                                                 keepdims=True)
+            if with_dist:
+                W_carry2 = W_carry + jnp.sum(w, axis=1, keepdims=True)
+                MD_carry2 = MD_carry + jnp.sum(wm, axis=1, keepdims=True)
+            else:
+                W_carry2, MD_carry2 = W_carry, MD_carry
+            return (S_phi_carry, W_carry2, MD_carry2)
+
+        # chunks the forward skipped (saturated) contributed no weight
+        return jax.lax.cond(jnp.max(T_start) > T_EPS, live,
+                            lambda c: c, carry)
+
+    zeros_p1 = jnp.zeros((p_tile, 1), jnp.float32)
+    jax.lax.fori_loop(0, n_act, body, (zeros_p1, zeros_p1, zeros_p1))
 
 
 def _forward_tiled(F, lists, counts, rays_t, pix_t, *, tile_h, tile_w,
@@ -303,44 +332,40 @@ def _forward_tiled(F, lists, counts, rays_t, pix_t, *, tile_h, tile_w,
     n_tiles, K = lists.shape
     p_tile = tile_h * tile_w
     n_chunks = K // chunk
-    Fg = F[lists]                               # [T, K, 16]
-    grid = (n_tiles, n_chunks)
+    Fg = jnp.swapaxes(F[lists], 1, 2)           # [T, 16, K] feature-major
     kernel = functools.partial(_fwd_kernel, chunk=chunk, width=width,
                                n_chunks=n_chunks, with_median=with_median,
                                with_dist=with_dist)
-    def fg_index(t, c, counts_ref):
-        # clamp past-count chunks to the last needed block: the revisit is
-        # recognized by the pipeline and the DMA is skipped
-        last = jnp.maximum(pl.cdiv(counts_ref[t], chunk) - 1, 0)
-        return (t, jnp.minimum(c, last), 0)
-
     out, tbound = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=grid,
+            grid=(n_tiles,),
             in_specs=[
-                pl.BlockSpec((1, chunk, 16), fg_index,
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((1, p_tile, 3), lambda t, *_: (t, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 3, p_tile), lambda t, c, *_: (t, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 2, p_tile), lambda t, c, *_: (t, 0, 0),
+                pl.BlockSpec((1, p_tile, 2), lambda t, *_: (t, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((1, 8, p_tile), lambda t, c, *_: (t, 0, 0),
+                pl.BlockSpec((1, p_tile, 8), lambda t, *_: (t, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, n_chunks, p_tile), lambda t, c, *_: (t, 0, 0),
+                pl.BlockSpec((1, n_chunks, p_tile), lambda t, *_: (t, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            scratch_shapes=[pltpu.VMEM((1, p_tile), jnp.float32)],
+            scratch_shapes=[
+                pltpu.VMEM((1, 16, chunk), jnp.float32),
+                pltpu.SemaphoreType.DMA((1,)),
+            ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, 8, p_tile), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, n_chunks, p_tile), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, p_tile, 8), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, n_chunks, p_tile),
+                                 jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(counts, Fg, rays_t, pix_t)
@@ -353,51 +378,46 @@ def _backward_tiled(F, lists, counts, rays_t, pix_t, tbound, outs, g_tiled,
     n_tiles, K = lists.shape
     p_tile = tile_h * tile_w
     n_chunks = K // chunk
-    Fg = F[lists]
-    grid = (n_tiles, n_chunks)
+    Fg = jnp.swapaxes(F[lists], 1, 2)           # [T, 16, K]
     kernel = functools.partial(_bwd_kernel, chunk=chunk, width=width,
                                n_chunks=n_chunks, with_median=with_median,
                                with_dist=with_dist)
-
-    def rev(t, c, counts_ref):
-        # reverse order with past-count chunks clamped to the last needed
-        # block (they run first and are skipped; no DMA is issued for them)
-        cc = n_chunks - 1 - c
-        last = jnp.maximum(pl.cdiv(counts_ref[t], chunk) - 1, 0)
-        return (t, jnp.minimum(cc, last), 0)
-
     dFg = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=grid,
+            grid=(n_tiles,),
             in_specs=[
-                pl.BlockSpec((1, chunk, 16), rev, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 3, p_tile), lambda t, c, *_: (t, 0, 0),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((1, p_tile, 3), lambda t, *_: (t, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 2, p_tile), lambda t, c, *_: (t, 0, 0),
+                pl.BlockSpec((1, p_tile, 2), lambda t, *_: (t, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, n_chunks, p_tile), lambda t, c, *_: (t, 0, 0),
+                pl.BlockSpec((1, n_chunks, p_tile), lambda t, *_: (t, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 8, p_tile), lambda t, c, *_: (t, 0, 0),
+                pl.BlockSpec((1, p_tile, 8), lambda t, *_: (t, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 8, p_tile), lambda t, c, *_: (t, 0, 0),
+                pl.BlockSpec((1, p_tile, 8), lambda t, *_: (t, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, chunk, 16), rev,
+            out_specs=pl.BlockSpec((1, 16, K), lambda t, *_: (t, 0, 0),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((4, p_tile), jnp.float32)],
+            scratch_shapes=[
+                pltpu.VMEM((1, 16, chunk), jnp.float32),
+                pltpu.SemaphoreType.DMA((1,)),
+            ],
         ),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, K, 16), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 16, K), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(counts, Fg, rays_t, pix_t, tbound, outs, g_tiled)
     # scatter per-tile-entry grads back to surfels (atomics-free)
     n_plus1 = F.shape[0]
     dF = jnp.zeros((n_plus1, 16), jnp.float32)
-    dF = dF.at[lists.reshape(-1)].add(dFg.reshape(-1, 16))
+    dFg_rows = jnp.swapaxes(dFg, 1, 2).reshape(-1, 16)
+    dF = dF.at[lists.reshape(-1)].add(dFg_rows)
     return dF
 
 
@@ -474,8 +494,7 @@ def prepare_tiles(xyz, scaling, rotation, opacity, T_cw, K, params,
             params.tile_list_capacity)
     rays_all, pix_all = binning.tile_rays(K, height, width, tile_h, tile_w)
     return TileAssignment(lists=lists, counts=counts,
-                          rays_t=jnp.swapaxes(rays_all, 1, 2),
-                          pix_t=jnp.swapaxes(pix_all, 1, 2))
+                          rays_t=rays_all, pix_t=pix_all)
 
 
 def rasterize_pallas(xyz, scaling, rotation, opacity, T_cw, K, params,
@@ -501,7 +520,7 @@ def rasterize_pallas(xyz, scaling, rotation, opacity, T_cw, K, params,
                          with_dist=params.with_dist)
     out = _raster_core(F, lists, counts, rays_t, pix_t, static)
 
-    chans = binning.untile(out, height, width, tile_h, tile_w)
+    chans = binning.untile_px(out, height, width, tile_h, tile_w)
     return {
         "depth_sum": chans[0],
         "alpha": chans[1],

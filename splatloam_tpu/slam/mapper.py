@@ -311,27 +311,21 @@ class Mapper:
         return self._programs[sig]
 
     def _stack_keyframes(self, kf_cap: int) -> KeyframeBatch:
-        frames = self.model.keyframes[:kf_cap]
-        n = len(frames)
-        cams = [f.camera_in_model() for f in frames]
-        h, w = cams[0].height, cams[0].width
-
-        def stack(getter, pad_shape, dtype):
-            arr = np.zeros((kf_cap,) + pad_shape, dtype)
-            for i, c in enumerate(cams):
-                arr[i] = np.asarray(getter(c))
-            return jnp.asarray(arr)
-
+        """Keyframe batch from the model's incremental device-side stack
+        (no per-update host round trips)."""
+        model = self.model
+        n = len(model.keyframes)
+        if model.kf_stack is None or \
+                model.kf_stack["K"].shape[0] != kf_cap:
+            model.rebuild_kf_stack()
+        stack = model.kf_stack
         probs = sample_geometric_probs(
             n, self.cfg.mapping.prob_view_last_keyframe, kf_cap)
         log_probs = np.full((kf_cap,), -np.inf, np.float32)
         log_probs[:n] = np.log(np.maximum(probs[:n], 1e-30))
         return KeyframeBatch(
-            K=stack(lambda c: c.K, (3, 3), np.float32),
-            T_cw=stack(lambda c: c.T_cw, (4, 4), np.float32),
-            depth=stack(lambda c: c.depth, (h, w), np.float32),
-            valid=stack(lambda c: c.valid, (h, w), bool),
-            log_probs=jnp.asarray(log_probs))
+            K=stack["K"], T_cw=stack["T_cw"], depth=stack["depth"],
+            valid=stack["valid"], log_probs=jnp.asarray(log_probs))
 
     def _optimize_sharded(self, model: LocalModel, progs: MapperPrograms):
         """Multi-device optimize: host-side keyframe sampling, sharded
@@ -381,30 +375,40 @@ class Mapper:
         cam = frame.camera_in_model()
         h, w = cam.height, cam.width
 
+        from ..profiling import get_profiler
+        prof = get_profiler()
         progs = self.programs_for(h, w, model.capacity)
         model.ensure_free_slots(progs.max_new)
         if model.capacity != progs.capacity:
             progs = self.programs_for(h, w, model.capacity)
 
-        model.surfels, model.adam, n_new, sampled = progs._densify(
-            model.surfels, model.adam, cam, self._next_key(),
-            initialize=initialize_model)
-        logger.info(f"Adding {int(n_new)} new gaussians")
+        with prof.phase("map.densify"):
+            model.surfels, model.adam, n_new, sampled = progs._densify(
+                model.surfels, model.adam, cam, self._next_key(),
+                initialize=initialize_model)
+            n_new = int(n_new)
+        logger.info(f"Adding {n_new} new gaussians")
 
         # pad keyframe count to a multiple of keyframe_capacity so the
         # optimize program only recompiles when a new bucket is reached
         bucket = max(int(self.cfg.compute.keyframe_capacity), 1)
         kf_cap = ((len(model.keyframes) + bucket - 1) // bucket) * bucket
         if self._mesh is not None:
-            ema = self._optimize_sharded(model, progs)
+            with prof.phase("map.optimize"):
+                ema = self._optimize_sharded(model, progs)
         else:
-            kf = self._stack_keyframes(kf_cap)
-            model.surfels, model.adam, ema, losses = progs._optimize(
-                model.surfels, model.adam, kf, self._next_key())
+            with prof.phase("map.stack_kf"):
+                kf = self._stack_keyframes(kf_cap)
+            with prof.phase("map.optimize"):
+                model.surfels, model.adam, ema, losses = progs._optimize(
+                    model.surfels, model.adam, kf, self._next_key())
+                ema.block_until_ready()
         logger.debug(f"optimize done, loss_ema={float(ema):.4f}")
 
-        model.surfels, n_pruned = progs._prune(model.surfels)
-        logger.info(f"Pruning {int(n_pruned)} gaussians")
+        with prof.phase("map.prune"):
+            model.surfels, n_pruned = progs._prune(model.surfels)
+            n_pruned = int(n_pruned)
+        logger.info(f"Pruning {n_pruned} gaussians")
         self._last_ema = ema
         logger.info(f"Model updated. | No. primitives = "
                     f"{model.no_gaussians}, {model.size_mb:.2f} MB")

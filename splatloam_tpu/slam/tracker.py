@@ -31,6 +31,26 @@ from ..ops.rasterizer import RenderParams, render
 logger = get_logger("tracker")
 
 
+@partial(jax.jit, static_argnames=("params", "depth_min", "depth_ratio"))
+def _prepare_target(xyz, scaling, rotation, opacity, T_cw, K,
+                    params, depth_min: float, depth_ratio: float):
+    """Render the model at the keyframe view and derive the registration
+    target (points + normals + validity) in ONE device program."""
+    pkg = render(xyz, scaling, rotation, opacity, T_cw, K, params,
+                 depth_ratio)
+    depth = pkg["surf_depth"]
+    valid = (pkg["rend_alpha"] > 0.5) & (depth > depth_min)
+    pts = spherical.depth_to_points(depth, K)
+    normals = spherical.depth_to_normal(depth, K)
+    return depth, pts, normals, valid
+
+
+@jax.jit
+def _prepare_source(depth, K, valid):
+    pts = spherical.depth_to_points(depth, K).reshape(-1, 3)
+    return pts, valid.reshape(-1)
+
+
 @partial(jax.jit, static_argnames=("num_iterations", "height", "width"))
 def gauss_newton_align(T_init,
                        src_pts, src_valid,
@@ -115,22 +135,18 @@ class AlignerGN:
         assert self.model is not None
         cam = frame.camera_in_model()
         surf = self.model.surfels
-        pkg = render(surf.params.xyz, surf.scaling, surf.rotation,
-                     surf.opacity, cam.T_cw, cam.K,
-                     self._params_for(cam), self.cfg.opt.depth_ratio)
-        depth = pkg["surf_depth"]
-        alpha = pkg["rend_alpha"]
-        valid = (alpha > 0.5) & (depth > self.cfg.preprocessing.depth_min)
-        pts = spherical.depth_to_points(depth, cam.K)  # keyframe sensor frame
-        normals = spherical.depth_to_normal(depth, cam.K)
+        depth, pts, normals, valid = _prepare_target(
+            surf.params.xyz, surf.scaling, surf.rotation, surf.opacity,
+            cam.T_cw, cam.K, self._params_for(cam),
+            float(self.cfg.preprocessing.depth_min),
+            float(self.cfg.opt.depth_ratio))
         self._target = (depth, pts, normals, valid, cam.K,
                         cam.height, cam.width)
 
     def set_source(self, frame: Frame) -> None:
         """Measured depth of the new frame (ref :160-168)."""
         cam = frame.camera
-        pts = spherical.depth_to_points(cam.depth, cam.K).reshape(-1, 3)
-        valid = cam.valid.reshape(-1)
+        pts, valid = _prepare_source(cam.depth, cam.K, cam.valid)
         self._source = (pts, valid)
 
     def align(self, iguess: np.ndarray) -> np.ndarray:
@@ -205,8 +221,13 @@ class Tracker:
         self.num_frames_tracked = 0
 
     def track(self, frame: Frame) -> None:
-        self.aligner.set_source(frame)
-        self.keyframe_T_frame = self.aligner.align(self.keyframe_T_frame)
+        from ..profiling import get_profiler
+        prof = get_profiler()
+        with prof.phase("track.set_source"):
+            self.aligner.set_source(frame)
+        with prof.phase("track.align"):
+            self.keyframe_T_frame = self.aligner.align(
+                self.keyframe_T_frame)
         model_T_keyframe = self.model.keyframes[-1].model_T_frame
         frame.model_T_frame = model_T_keyframe @ self.keyframe_T_frame
         self.num_frames_tracked += 1

@@ -14,6 +14,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tests"))
 
 import numpy as np
 
+from splatloam_tpu.cli import _enable_compilation_cache
+_enable_compilation_cache()
+
 
 def main(n_frames=12):
     import synthetic
