@@ -70,12 +70,13 @@ class Profiler:
             self._tracing = False
 
     def report(self) -> str:
-        lines = [f"{'phase':<22}{'count':>8}{'total_s':>10}{'ema_ms':>10}"]
+        lines = [f"{'phase':<22}{'count':>8}{'total_s':>10}{'ema_ms':>10}"
+                 f"{'last_ms':>10}"]
         for name in sorted(self.stats):
             s = self.stats[name]
             ema = 0.0 if s.ema is None else s.ema * 1e3
             lines.append(f"{name:<22}{s.count:>8}{s.total:>10.2f}"
-                         f"{ema:>10.1f}")
+                         f"{ema:>10.1f}{s.last * 1e3:>10.1f}")
         for name in sorted(self.counters):
             lines.append(f"{name:<22}{self.counters[name]:>18.0f}")
         return "\n".join(lines)

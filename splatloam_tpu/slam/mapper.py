@@ -77,10 +77,16 @@ class MapperPrograms:
         oc = cfg.opt
         cc = cfg.compute
         self.height, self.width, self.capacity = height, width, capacity
+        # tile lists can't usefully exceed ~capacity/8 entries (scatter and
+        # DMA costs scale with T*K); shrink K for small pools — the pool
+        # capacity doubling re-specializes these programs anyway
+        k_eff = min(int(cc.tile_list_capacity),
+                    max(int(cc.chunk),
+                        (capacity // 8 // cc.chunk) * cc.chunk))
         self.params = RenderParams(
             height=height, width=width, backend=cc.backend.value,
             chunk=cc.chunk, tile_h=cc.tile_h, tile_w=cc.tile_w,
-            tile_list_capacity=cc.tile_list_capacity,
+            tile_list_capacity=k_eff,
             # mapping losses use expected depth only (+ median iff
             # depth_ratio > 0); the distortion channel is never in the loss
             with_median=oc.depth_ratio > 0, with_dist=False)

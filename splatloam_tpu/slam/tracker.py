@@ -123,10 +123,13 @@ class AlignerGN:
 
     def _params_for(self, cam) -> RenderParams:
         cc = self.cfg.compute
+        cap = self.model.capacity if self.model is not None else 1 << 30
+        k_eff = min(int(cc.tile_list_capacity),
+                    max(int(cc.chunk), (cap // 8 // cc.chunk) * cc.chunk))
         return RenderParams(height=cam.height, width=cam.width,
                             backend=cc.backend.value, chunk=cc.chunk,
                             tile_h=cc.tile_h, tile_w=cc.tile_w,
-                            tile_list_capacity=cc.tile_list_capacity,
+                            tile_list_capacity=k_eff,
                             with_median=self.cfg.opt.depth_ratio > 0,
                             with_dist=False)
 

@@ -37,7 +37,7 @@ def main(n_frames=12):
         tracking={"method": "gsaligner", "keyframe_threshold_nframes": -1,
                   "keyframe_threshold_distance": 2.0,
                   "keyframe_threshold_fitness": 0.3},
-        compute={"backend": "auto", "initial_capacity": 65536,
+        compute={"backend": "auto", "initial_capacity": 16384,
                  "keyframe_capacity": 16, "chunk": 256,
                  "tile_h": 16, "tile_w": 32, "tile_list_capacity": 4096,
                  "rebin_every": 8})
