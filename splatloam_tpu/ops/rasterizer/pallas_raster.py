@@ -122,11 +122,15 @@ def _fwd_kernel(counts_ref, Fg_hbm, rays_ref, pix_ref,
     pix = pix_ref[0]                        # [P, 2]
     p_tile = rays.shape[0]
 
-    def fetch(i):
+    def fetch(i, slot):
         start = pl.multiple_of(i * chunk, chunk)
         return pltpu.make_async_copy(
             Fg_hbm.at[t, :, pl.ds(start, chunk)],
-            fg_buf.at[0], dma_sem.at[0])
+            fg_buf.at[slot], dma_sem.at[slot])
+
+    @pl.when(n_act > 0)
+    def _():
+        fetch(0, 0).start()
 
     def cond(state):
         i = state[0]
@@ -134,10 +138,14 @@ def _fwd_kernel(counts_ref, Fg_hbm, rays_ref, pix_ref,
 
     def body(state):
         (i, T_carry, d_sum, a_sum, n_sum, med, dist) = state
-        dma = fetch(i)
-        dma.start()
-        dma.wait()
-        F = fg_buf[0]
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < n_act)
+        def _():
+            fetch(i + 1, 1 - slot).start()
+
+        fetch(i, slot).wait()
+        F = fg_buf[slot]
         # dynamic-index stores must be lane/sublane aligned; n_chunks is
         # small, so select the row with a static predicated chain instead
         for j in range(n_chunks):
@@ -181,8 +189,14 @@ def _fwd_kernel(counts_ref, Fg_hbm, rays_ref, pix_ref,
     zeros = jnp.zeros((p_tile,), jnp.float32)
     init = (jnp.int32(0), jnp.ones((p_tile,), jnp.float32), zeros, zeros,
             jnp.zeros((p_tile, 3), jnp.float32), zeros, zeros)
-    (_, T_carry, d_sum, a_sum, n_sum, med, dist) = \
+    (i_end, T_carry, d_sum, a_sum, n_sum, med, dist) = \
         jax.lax.while_loop(cond, body, init)
+
+    # early exit may leave the prefetch for chunk i_end in flight
+    @pl.when((n_act > 0) & (i_end < n_act))
+    def _():
+        fetch(i_end, jax.lax.rem(i_end, 2)).wait()
+
     out_ref[0, :, 0] = d_sum
     out_ref[0, :, 1] = a_sum
     out_ref[0, :, 2:5] = n_sum
@@ -355,8 +369,8 @@ def _forward_tiled(F, lists, counts, rays_t, pix_t, *, tile_h, tile_w,
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((1, 16, chunk), jnp.float32),
-                pltpu.SemaphoreType.DMA((1,)),
+                pltpu.VMEM((2, 16, chunk), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=[

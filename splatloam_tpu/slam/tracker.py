@@ -64,17 +64,23 @@ def gauss_newton_align(T_init,
                        damping: float):
     """Projective point-to-plane GN.  All target images [H, W, ...]."""
 
+    # flat single-index gathers (2-D advanced indexing lowers to a much
+    # slower gather on TPU)
+    tgt_n_flat = tgt_normals.reshape(-1, 3)
+    tgt_p_flat = tgt_pts.reshape(-1, 3)
+    tgt_v_flat = tgt_valid.reshape(-1)
+
     def residuals(T):
         q = src_pts @ T[:3, :3].T + T[:3, 3]
         x, y, _ = spherical.project_points(K, q)
         u = jnp.mod(spherical.pixel_index(x), width)
         v = spherical.pixel_index(y)
         in_img = (v >= 0) & (v < height)
-        v = jnp.clip(v, 0, height - 1)
-        n = tgt_normals[v, u]
-        p_t = tgt_pts[v, u]
+        flat = jnp.clip(v, 0, height - 1) * width + u
+        n = tgt_n_flat[flat]
+        p_t = tgt_p_flat[flat]
         r = jnp.sum(n * (q - p_t), axis=-1)
-        ok = (src_valid & in_img & tgt_valid[v, u]
+        ok = (src_valid & in_img & tgt_v_flat[flat]
               & (jnp.abs(r) <= max_corr_dist))
         return r, ok, q, n
 
