@@ -27,8 +27,9 @@ logger = get_logger("preprocessing")
 
 @partial(jax.jit, static_argnames=("height", "width", "depth_min",
                                    "depth_max"))
-def _preprocess_device(pts, pmask, normals, height: int, width: int,
-                       depth_min: float, depth_max: float):
+def _preprocess_device(pts, pmask, height: int, width: int,
+                       depth_min: float, depth_max: float,
+                       normals=None):
     """One fused device program: intrinsics fit + z-buffer + image gathers.
 
     A single jit keeps per-frame host<->device round trips to two transfers
@@ -39,6 +40,11 @@ def _preprocess_device(pts, pmask, normals, height: int, width: int,
                                                    valid=pmask)
     depth, lut, valid = projection.build_range_image(
         pts, pmask, K, height, width, depth_min, depth_max)
+    if normals is None:
+        # paper sec 3.3.1 default: unit vector toward the sensor — computed
+        # on device (halves the per-frame host->device transfer)
+        norms = jnp.linalg.norm(pts, axis=1, keepdims=True)
+        normals = -pts / jnp.maximum(norms, 1e-12)
     normal_img = normals[jnp.clip(lut, 0, None)]
     normal_img = jnp.where(valid[..., None], normal_img, 0.0)
     return K, depth, normal_img, valid
@@ -68,13 +74,20 @@ class Preprocessor:
         mask = np.zeros((padded,), bool)
         mask[:n] = True
 
-        # per-point normals first (host: trivial toward-sensor math or the
-        # optional PCA path), then one fused device program does the rest
-        normals = self.compute_normals(buf, mask)
+        # one fused device program; toward-sensor normals are computed on
+        # device, the optional PCA normal path stays host-side (scipy)
+        if pcfg.enable_normal_estimation:
+            normals = jnp.asarray(self.compute_normals(buf, mask))
+        else:
+            if pcfg.enable_ground_segmentation:
+                raise NotImplementedError(
+                    "Ground segmentation still not implemented")
+            normals = None
         K, depth, normal_img, valid = _preprocess_device(
-            jnp.asarray(buf), jnp.asarray(mask), jnp.asarray(normals),
+            jnp.asarray(buf), jnp.asarray(mask),
             pcfg.image_height, pcfg.image_width,
-            float(pcfg.depth_min), float(pcfg.depth_max))
+            float(pcfg.depth_min), float(pcfg.depth_max),
+            normals=normals)
 
         camera = make_camera(K=K, depth=depth, normal=normal_img,
                              valid=valid)
