@@ -151,15 +151,6 @@ def tile_rays(K: jax.Array, height: int, width: int, tile_h: int,
     return to_tiles(rays), to_tiles(pix)
 
 
-def untile(chans_tiled: jax.Array, height: int, width: int, tile_h: int,
-           tile_w: int) -> jax.Array:
-    """[T, C_ch, P] -> [C_ch, H, W]."""
-    ty, tx = height // tile_h, width // tile_w
-    n_ch = chans_tiled.shape[1]
-    a = chans_tiled.reshape(ty, tx, n_ch, tile_h, tile_w)
-    return a.transpose(2, 0, 3, 1, 4).reshape(n_ch, height, width)
-
-
 def untile_px(chans_tiled: jax.Array, height: int, width: int, tile_h: int,
               tile_w: int) -> jax.Array:
     """[T, P, C_ch] (pixel-major kernel output) -> [C_ch, H, W]."""
@@ -182,8 +173,3 @@ def pack_features(packed: common.PackedSurfels) -> jax.Array:
         packed.center_xy], axis=1)
     return jnp.concatenate([F, jnp.zeros((1, 16), F.dtype)], axis=0)
 
-
-def gather_tile_features(F: jax.Array, lists: jax.Array) -> jax.Array:
-    """F [N+1, 16], lists [T, K] -> Fg [T, 16, K] (feature-major for the
-    kernel: features on sublanes, surfels on lanes)."""
-    return jnp.swapaxes(F[lists], -1, -2)
