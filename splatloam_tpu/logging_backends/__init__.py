@@ -71,6 +71,16 @@ def reset_datalogger() -> None:
 def _build(cfg) -> DataLoggerProtocol:
     if cfg is None or not cfg.logging.enable:
         return DataLoggerDummy()
+    kind = getattr(cfg.logging.logger_type, "value",
+                   cfg.logging.logger_type)
+    if kind == "tensorboard":
+        try:
+            from .tensorboard_logging import DataLoggerTB
+            return DataLoggerTB(cfg)
+        except Exception as e:
+            logger.warning(f"tensorboard backend unavailable ({e}); "
+                           "using dummy logger")
+            return DataLoggerDummy()
     try:
         from .rerun_logging import DataLoggerRR
         return DataLoggerRR(cfg)

@@ -117,6 +117,21 @@ def test_gradient_pose(rng):
     np.testing.assert_allclose(gT_pal, gT_ref, atol=3e-3 * scale)
 
 
+def test_forward_parity_production_tiles(rng):
+    """Default production tile config (8x32, chunk 256, sorted binner)."""
+    params = RenderParams(height=H, width=W, backend="pallas")
+    assert (params.tile_h, params.tile_w) == (8, 32)
+    args = _scene(rng, n=250)
+    ref = rasterize_jnp(*args, H, W)
+    out = rasterize_pallas(*args, params)
+    np.testing.assert_allclose(np.asarray(out["alpha"]),
+                               np.asarray(ref["alpha"]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out["depth_sum"]),
+                               np.asarray(ref["depth_sum"]), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(out["normal_sum"]),
+                               np.asarray(ref["normal_sum"]), atol=3e-4)
+
+
 def test_tile_list_overflow_drops_far(rng):
     # capacity smaller than surfel count: nearest surfels must be kept
     params = RenderParams(height=H, width=W, backend="pallas", chunk=128,
