@@ -225,120 +225,133 @@ def _bwd_kernel(counts_ref, Fg_hbm, rays_ref, pix_ref, tbound_ref,
     A_total = outs_ref[0, :, 1:2]
     D_total = outs_ref[0, :, 0:1]
 
-    def fetch(i):
+    def fetch(i, slot):
         start = pl.multiple_of(i * chunk, chunk)
         return pltpu.make_async_copy(
             Fg_hbm.at[t, :, pl.ds(start, chunk)],
-            fg_buf.at[0], dma_sem.at[0])
+            fg_buf.at[slot], dma_sem.at[slot])
+
+    # transmittance is monotone over chunks, so the chunks the forward
+    # skipped (T_start <= eps) form a SUFFIX in forward order: reverse
+    # processing can start at the last live chunk and drop the per-chunk
+    # liveness branch entirely (enabling DMA double buffering)
+    n_live = jnp.int32(0)
+    for j in range(n_chunks):
+        is_live = (j < n_act) & (jnp.max(tbound_ref[0, j, :]) > T_EPS)
+        n_live = n_live + is_live.astype(jnp.int32)
+
+    @pl.when(n_live > 0)
+    def _():
+        fetch(n_live - 1, jax.lax.rem(n_live - 1, 2)).start()
 
     def body(ci, carry):
         S_phi_carry, W_carry, MD_carry = carry
-        i = n_act - 1 - ci
+        i = n_live - 1 - ci
         T_start = jnp.zeros((p_tile,), jnp.float32)
         for j in range(n_chunks):
             T_start = jnp.where(i == j, tbound_ref[0, j, :], T_start)
 
-        def live(carry):
-            S_phi_carry, W_carry, MD_carry = carry
-            dma = fetch(i)
-            dma.start()
-            dma.wait()
-            F = fg_buf[0]
-            geo = _splat_geometry(F, rays, pix, width)
-            alpha, m = geo["alpha"], geo["m"]       # [P, C]
-            logt = jnp.log1p(-alpha)
-            Ti = T_start[:, None] * jnp.exp(
-                _scan_rows(logt, exclusive=True))
-            w = alpha * Ti
-            wm = w * m
+        slot = jax.lax.rem(i, 2)
 
-            def rsuf(x):
-                tot = jnp.sum(x, axis=1, keepdims=True)
-                return tot - _scan_rows(x, exclusive=False)
+        @pl.when(i - 1 >= 0)
+        def _():
+            fetch(i - 1, 1 - slot).start()
 
-            # nphi [P, C]: sum_k gN[p, k] * n3[k, c]
-            nphi = jax.lax.dot_general(
-                gN, geo["n3"], (((1,), (0,)), ((), ())), precision=hi,
+        fetch(i, slot).wait()
+        F = fg_buf[slot]
+        geo = _splat_geometry(F, rays, pix, width)
+        alpha, m = geo["alpha"], geo["m"]       # [P, C]
+        logt = jnp.log1p(-alpha)
+        Ti = T_start[:, None] * jnp.exp(
+            _scan_rows(logt, exclusive=True))
+        w = alpha * Ti
+        wm = w * m
+
+        def rsuf(x):
+            tot = jnp.sum(x, axis=1, keepdims=True)
+            return tot - _scan_rows(x, exclusive=False)
+
+        # nphi [P, C]: sum_k gN[p, k] * n3[k, c]
+        nphi = jax.lax.dot_general(
+            gN, geo["n3"], (((1,), (0,)), ((), ())), precision=hi,
+            preferred_element_type=jnp.float32)
+        phi = gD * m + gA + nphi
+        if with_dist:
+            W_suf = rsuf(w) + W_carry
+            MD_suf = rsuf(wm) + MD_carry
+            A_prev = A_total - w - W_suf
+            D_prev = D_total - wm - MD_suf
+            phi = phi + gdist * (m * A_prev - D_prev + MD_suf
+                                 - m * W_suf)
+
+        S_phi = rsuf(w * phi) + S_phi_carry
+        one_m_a = jnp.maximum(1.0 - alpha, 1e-3)
+        galpha = Ti * phi - S_phi / one_m_a
+        galpha = jnp.where(alpha > 0, galpha, 0.0)
+        gm = w * gD
+        if with_dist:
+            gm = gm + w * gdist * (A_prev - W_suf)
+
+        not_capped = geo["alpha_raw"] < common.ALPHA_MAX
+        live_px = geo["ok"] & not_capped
+        g_opa_px = jnp.where(live_px, galpha * geo["g_exp"], 0.0)
+        g_rho = jnp.where(live_px,
+                          galpha * (-0.5) * geo["alpha_raw"], 0.0)
+        use2 = geo["use2"]
+        u3 = jnp.logical_not(use2)
+        g_u = jnp.where(u3, g_rho * 2.0 * geo["uu"], 0.0)
+        g_v = jnp.where(u3, g_rho * 2.0 * geo["vv"], 0.0)
+        g_t = (g_u * geo["A1"] + g_v * geo["A2"]
+               + jnp.where(u3, gm, 0.0))
+        g_np = g_t / geo["A3"]
+        g_A3 = -g_t * geo["tstar"] / geo["A3"]
+        g_A1 = g_u * geo["tstar"]
+        g_A2 = g_v * geo["tstar"]
+        g_dx = jnp.where(use2, g_rho * 2.0 *
+                         common.FILTER_INV_SQUARE * geo["dx"], 0.0)
+        g_dy = jnp.where(use2, g_rho * 2.0 *
+                         common.FILTER_INV_SQUARE * geo["dy"], 0.0)
+
+        def sum_px(x):  # [P, C] -> [1, C]
+            return jnp.sum(x, axis=0, keepdims=True)
+
+        def dot_rays(x):  # sum_p rays[p, k] x[p, c] -> [3, C]
+            return jax.lax.dot_general(
+                rays, x, (((0,), (0,)), ((), ())), precision=hi,
                 preferred_element_type=jnp.float32)
-            phi = gD * m + gA + nphi
-            if with_dist:
-                W_suf = rsuf(w) + W_carry
-                MD_suf = rsuf(wm) + MD_carry
-                A_prev = A_total - w - W_suf
-                D_prev = D_total - wm - MD_suf
-                phi = phi + gdist * (m * A_prev - D_prev + MD_suf
-                                     - m * W_suf)
 
-            S_phi = rsuf(w * phi) + S_phi_carry
-            one_m_a = jnp.maximum(1.0 - alpha, 1e-3)
-            galpha = Ti * phi - S_phi / one_m_a
-            galpha = jnp.where(alpha > 0, galpha, 0.0)
-            gm = w * gD
-            if with_dist:
-                gm = gm + w * gdist * (A_prev - W_suf)
+        s_g_np = sum_px(g_np)
+        s_g_u = sum_px(g_u)
+        s_g_v = sum_px(g_v)
+        d_gu = dot_rays(g_A1) - s_g_u * geo["p3"]
+        d_gv = dot_rays(g_A2) - s_g_v * geo["p3"]
+        # direct normal payload: sum_p gN[p,k] w[p,c] -> [3, C]
+        d_n = (dot_rays(g_A3) + s_g_np * geo["p3"]
+               + jax.lax.dot_general(
+                   gN, w, (((0,), (0,)), ((), ())), precision=hi,
+                   preferred_element_type=jnp.float32))
+        d_p = (s_g_np * geo["n3"] - s_g_u * geo["gu3"]
+               - s_g_v * geo["gv3"])
+        dF = jnp.concatenate(
+            [d_p, d_gu, d_gv, d_n, sum_px(g_opa_px),
+             sum_px(jnp.where(use2, gm, 0.0)),
+             sum_px(-g_dx), sum_px(-g_dy)], axis=0)   # [16, C]
+        dF_ref[0, :, pl.ds(pl.multiple_of(i * chunk, chunk),
+                           chunk)] = dF
 
-            not_capped = geo["alpha_raw"] < common.ALPHA_MAX
-            live_px = geo["ok"] & not_capped
-            g_opa_px = jnp.where(live_px, galpha * geo["g_exp"], 0.0)
-            g_rho = jnp.where(live_px,
-                              galpha * (-0.5) * geo["alpha_raw"], 0.0)
-            use2 = geo["use2"]
-            u3 = jnp.logical_not(use2)
-            g_u = jnp.where(u3, g_rho * 2.0 * geo["uu"], 0.0)
-            g_v = jnp.where(u3, g_rho * 2.0 * geo["vv"], 0.0)
-            g_t = (g_u * geo["A1"] + g_v * geo["A2"]
-                   + jnp.where(u3, gm, 0.0))
-            g_np = g_t / geo["A3"]
-            g_A3 = -g_t * geo["tstar"] / geo["A3"]
-            g_A1 = g_u * geo["tstar"]
-            g_A2 = g_v * geo["tstar"]
-            g_dx = jnp.where(use2, g_rho * 2.0 *
-                             common.FILTER_INV_SQUARE * geo["dx"], 0.0)
-            g_dy = jnp.where(use2, g_rho * 2.0 *
-                             common.FILTER_INV_SQUARE * geo["dy"], 0.0)
-
-            def sum_px(x):  # [P, C] -> [1, C]
-                return jnp.sum(x, axis=0, keepdims=True)
-
-            def dot_rays(x):  # sum_p rays[p, k] x[p, c] -> [3, C]
-                return jax.lax.dot_general(
-                    rays, x, (((0,), (0,)), ((), ())), precision=hi,
-                    preferred_element_type=jnp.float32)
-
-            s_g_np = sum_px(g_np)
-            s_g_u = sum_px(g_u)
-            s_g_v = sum_px(g_v)
-            d_gu = dot_rays(g_A1) - s_g_u * geo["p3"]
-            d_gv = dot_rays(g_A2) - s_g_v * geo["p3"]
-            # direct normal payload: sum_p gN[p,k] w[p,c] -> [3, C]
-            d_n = (dot_rays(g_A3) + s_g_np * geo["p3"]
-                   + jax.lax.dot_general(
-                       gN, w, (((0,), (0,)), ((), ())), precision=hi,
-                       preferred_element_type=jnp.float32))
-            d_p = (s_g_np * geo["n3"] - s_g_u * geo["gu3"]
-                   - s_g_v * geo["gv3"])
-            dF = jnp.concatenate(
-                [d_p, d_gu, d_gv, d_n, sum_px(g_opa_px),
-                 sum_px(jnp.where(use2, gm, 0.0)),
-                 sum_px(-g_dx), sum_px(-g_dy)], axis=0)   # [16, C]
-            dF_ref[0, :, pl.ds(pl.multiple_of(i * chunk, chunk),
-                               chunk)] = dF
-
-            S_phi_carry = S_phi_carry + jnp.sum(w * phi, axis=1,
-                                                keepdims=True)
-            if with_dist:
-                W_carry2 = W_carry + jnp.sum(w, axis=1, keepdims=True)
-                MD_carry2 = MD_carry + jnp.sum(wm, axis=1, keepdims=True)
-            else:
-                W_carry2, MD_carry2 = W_carry, MD_carry
+        S_phi_carry = S_phi_carry + jnp.sum(w * phi, axis=1,
+                                            keepdims=True)
+        if with_dist:
+            W_carry2 = W_carry + jnp.sum(w, axis=1, keepdims=True)
+            MD_carry2 = MD_carry + jnp.sum(wm, axis=1, keepdims=True)
+        else:
+            W_carry2, MD_carry2 = W_carry, MD_carry
             return (S_phi_carry, W_carry2, MD_carry2)
 
-        # chunks the forward skipped (saturated) contributed no weight
-        return jax.lax.cond(jnp.max(T_start) > T_EPS, live,
-                            lambda c: c, carry)
+        return (S_phi_carry, W_carry2, MD_carry2)
 
     zeros_p1 = jnp.zeros((p_tile, 1), jnp.float32)
-    jax.lax.fori_loop(0, n_act, body, (zeros_p1, zeros_p1, zeros_p1))
+    jax.lax.fori_loop(0, n_live, body, (zeros_p1, zeros_p1, zeros_p1))
 
 
 def _forward_tiled(F, lists, counts, rays_t, pix_t, *, tile_h, tile_w,
@@ -417,8 +430,8 @@ def _backward_tiled(F, lists, counts, rays_t, pix_t, tbound, outs, g_tiled,
             out_specs=pl.BlockSpec((1, 16, K), lambda t, *_: (t, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((1, 16, chunk), jnp.float32),
-                pltpu.SemaphoreType.DMA((1,)),
+                pltpu.VMEM((2, 16, chunk), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((n_tiles, 16, K), jnp.float32),
