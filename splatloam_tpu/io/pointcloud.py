@@ -57,11 +57,13 @@ class PointCloudReader:
 
 class PointCloudReader_Collections(PointCloudReader):
     """Folder-of-files datasets with timestamps from file or filename
-    (ref :32-61)."""
+    (ref :32-61).  A one-file read-ahead thread overlaps disk I/O with the
+    consumer's device compute."""
 
     def __init__(self, config: PointCloudReaderConfig):
         super().__init__(config)
         self.filenames: list[Path] = []
+        self._prefetch = None
         if config.timestamp_filename is not None:
             self.timestamps = read_timestamps(config.timestamp_filename)
             self.get_timestamp = \
@@ -71,12 +73,25 @@ class PointCloudReader_Collections(PointCloudReader):
         else:
             self.get_timestamp = lambda p: 0.0
 
+    def _submit(self, index: int):
+        import concurrent.futures
+        if not hasattr(self, "_pool"):
+            self._pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1)
+        return self._pool.submit(self.read_cloud, self.filenames[index])
+
     def __next__(self):
         if self.current_index >= self.n_clouds:
             raise StopIteration
         filename = self.filenames[self.current_index]
+        pending = self._prefetch
         self.current_index += 1
-        cloud = self.read_cloud(filename)
+        cloud = pending.result() if pending is not None \
+            else self.read_cloud(filename)
+        if self.current_index < self.n_clouds:
+            self._prefetch = self._submit(self.current_index)
+        else:
+            self._prefetch = None
         return cloud, self.get_timestamp(filename)
 
     def read_cloud(self, filename: Path) -> np.ndarray:

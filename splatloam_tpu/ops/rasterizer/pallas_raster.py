@@ -40,6 +40,23 @@ def _interpret() -> bool:
     return _INTERPRET or jax.default_backend() != "tpu"
 
 
+def _scan_prod(x, exclusive: bool):
+    """Prefix PRODUCT along the surfel (lane) axis 1 via log-shift
+    multiplies (avoids the log1p/exp transcendentals of log-space
+    compositing; products of <=chunk factors in [0,1] are fp32-safe)."""
+    c = x.shape[1]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    shift = 1
+    while shift < c:
+        rolled = pltpu.roll(x, shift, axis=1)
+        x = x * jnp.where(lanes >= shift, rolled, 1.0)
+        shift *= 2
+    if exclusive:
+        rolled = pltpu.roll(x, 1, axis=1)
+        x = jnp.where(lanes >= 1, rolled, 1.0)
+    return x
+
+
 def _scan_rows(x, exclusive: bool):
     """Prefix sum along the surfel (lane) axis 1 via log-shift adds."""
     c = x.shape[1]
@@ -155,8 +172,10 @@ def _fwd_kernel(counts_ref, Fg_hbm, rays_ref, pix_ref,
 
         geo = _splat_geometry(F, rays, pix, width)
         alpha, m = geo["alpha"], geo["m"]       # [P, C]
-        logt = jnp.log1p(-alpha)
-        texc = jnp.exp(_scan_rows(logt, exclusive=True))
+        one_m = 1.0 - alpha
+        t_incl = _scan_prod(one_m, exclusive=False)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, t_incl.shape, 1)
+        texc = jnp.where(lanes >= 1, pltpu.roll(t_incl, 1, axis=1), 1.0)
         Ti = T_carry[:, None] * texc            # [P, C]
         w = alpha * Ti
         wm = w * m
@@ -183,7 +202,9 @@ def _fwd_kernel(counts_ref, Fg_hbm, rays_ref, pix_ref,
         n_sum = n_sum + jax.lax.dot_general(
             w, geo["n3"], (((1,), (1,)), ((), ())), precision=hi,
             preferred_element_type=jnp.float32)
-        T_carry = T_carry * jnp.exp(jnp.sum(logt, axis=1))
+        # t_incl is non-increasing along lanes, so its min IS the full
+        # chunk product (single-lane slices don't lower on TPU)
+        T_carry = T_carry * jnp.min(t_incl, axis=1)
         return (i + 1, T_carry, d_sum, a_sum, n_sum, med, dist)
 
     zeros = jnp.zeros((p_tile,), jnp.float32)
@@ -261,9 +282,7 @@ def _bwd_kernel(counts_ref, Fg_hbm, rays_ref, pix_ref, tbound_ref,
         F = fg_buf[slot]
         geo = _splat_geometry(F, rays, pix, width)
         alpha, m = geo["alpha"], geo["m"]       # [P, C]
-        logt = jnp.log1p(-alpha)
-        Ti = T_start[:, None] * jnp.exp(
-            _scan_rows(logt, exclusive=True))
+        Ti = T_start[:, None] * _scan_prod(1.0 - alpha, exclusive=True)
         w = alpha * Ti
         wm = w * m
 

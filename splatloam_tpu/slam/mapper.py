@@ -232,8 +232,16 @@ class MapperPrograms:
         rebin = max(1, int(self.cfg.compute.rebin_every))
         n_blocks = (num_iters + rebin - 1) // rebin
 
-        def block(carry, blk_key):
-            surf, st, ema = carry
+        mc = self.cfg.mapping
+        early = bool(mc.early_stop_enable)
+        patience_blocks = max(1, int((mc.early_stop_patience or 100)
+                                     // rebin))
+        es_threshold = float(mc.early_stop_threshold or 0.01)
+        keys = jax.random.split(key, n_blocks)
+
+        def block_body(state):
+            surf, st, ema, best, stalled, b = state
+            blk_key = keys[b]
             kf_idx = jax.random.categorical(blk_key, kf.log_probs)
             cam_K = kf.K[kf_idx]
             cam_T = kf.T_cw[kf_idx]
@@ -256,12 +264,25 @@ class MapperPrograms:
 
             surf, st, ema = jax.lax.fori_loop(0, rebin, inner,
                                               (surf, st, ema))
-            return (surf, st, ema), ema
+            improved = ema < best * (1.0 - es_threshold)
+            best = jnp.minimum(best, ema)
+            stalled = jnp.where(improved, 0, stalled + 1)
+            return (surf, st, ema, best, stalled, b + 1)
 
-        keys = jax.random.split(key, n_blocks)
-        (surfels, adam, ema), losses = jax.lax.scan(
-            block, (surfels, adam, jnp.float32(jnp.nan)), keys)
-        return surfels, adam, ema, losses
+        def block_cond(state):
+            _, _, _, _, stalled, b = state
+            keep = b < n_blocks
+            if early:
+                # early stopping (cfg early_stop_*: declared but unused in
+                # the reference; implemented here as a real while_loop exit)
+                keep = keep & (stalled < patience_blocks)
+            return keep
+
+        state = (surfels, adam, jnp.float32(jnp.nan),
+                 jnp.float32(jnp.inf), jnp.int32(0), jnp.int32(0))
+        surfels, adam, ema, _, _, n_run = jax.lax.while_loop(
+            block_cond, block_body, state)
+        return surfels, adam, ema, n_run * rebin
 
     # ------------------------------------------------------------------
     # prune (ref slam/mapper.py:216-233)
@@ -406,10 +427,11 @@ class Mapper:
             with prof.phase("map.stack_kf"):
                 kf = self._stack_keyframes(kf_cap)
             with prof.phase("map.optimize"):
-                model.surfels, model.adam, ema, losses = progs._optimize(
+                model.surfels, model.adam, ema, n_iters = progs._optimize(
                     model.surfels, model.adam, kf, self._next_key())
                 ema.block_until_ready()
-        logger.debug(f"optimize done, loss_ema={float(ema):.4f}")
+            logger.debug(f"optimize done after {int(n_iters)} iters, "
+                         f"loss_ema={float(ema):.4f}")
 
         with prof.phase("map.prune"):
             model.surfels, n_pruned = progs._prune(model.surfels)
