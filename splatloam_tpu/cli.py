@@ -189,10 +189,12 @@ def cmd_eval_odom(args, extra) -> None:
                          "format")
             sys.exit(-1)
     is_kitti = isinstance(treader_reference, TrajectoryReader_KITTI)
+    # parity: the reference evaluates against the RAW reference poses
+    # (gt_T_sensor is applied when feeding SLAM, not during evaluation —
+    # ref run.py:274-277)
     mean, std = evaluate_rpe(
         estimated_trajectory=list(treader_estimate.poses),
-        gt_trajectory=[p @ treader_reference.gt_T_s
-                       for p in treader_reference.poses],
+        gt_trajectory=list(treader_reference.poses),
         timestamps=list(treader_estimate.timestamps),
         gt_timestamps=list(treader_reference.timestamps),
         is_kitti=is_kitti)

@@ -87,3 +87,15 @@ def test_submap_rollover(tmp_path, rng):
     # submap origins chain: world_T_model of model k+1 expressed in world
     for m in slam.local_models:
         assert m.world_T_model.shape == (4, 4)
+    # odometry continuity across the rollover: gt tracking means the world
+    # trajectory must still match the straight line exactly, and each
+    # rollover's origin must equal the world pose of its first keyframe
+    poses = synthetic.straight_trajectory(8, step=0.4)
+    for est, gt in zip(slam.world_T_odom, poses):
+        np.testing.assert_allclose(est, gt, atol=1e-5)
+    for m in slam.local_models:
+        first_kf_world = m.world_T_model @ m.keyframes[0].model_T_frame
+        # first keyframe of each submap sits at the submap origin
+        np.testing.assert_allclose(m.keyframes[0].model_T_frame,
+                                   np.eye(4), atol=1e-6)
+        assert np.all(np.isfinite(first_kf_world))
