@@ -57,6 +57,7 @@ class SLAM:
             # align to GT if first frame (ref :37-39)
             frame.model_T_frame = frame.world_T_frame.copy()
             self.initialize_new_local_model(frame)
+            self.frames.append(frame)
             self.world_T_odom.append(self._current_odometry())
             self.timestamps.append(frame.timestamp)
             return
@@ -107,7 +108,9 @@ class SLAM:
         self.mapper.update_model(frame, initialize_model=True)
         self.tracker.register_model(lmodel)
         self.tracker.register_keyframe(frame)
-        self.frames.append(frame)
+        # NOTE: the caller appends the frame to self.frames — the reference
+        # appends here AND in process() (ref slam/slam.py:61,125), double
+        # counting rollover frames and misaligning saved timestamps.
         get_datalogger(self.cfg).log_model("world/model", lmodel.surfels)
 
     def _maybe_checkpoint(self) -> None:
