@@ -16,7 +16,7 @@ import numpy as np
 
 from .logging_utils import get_logger
 from .model import surfels as S
-from .model.camera import Camera, make_camera
+from .model.camera import Camera
 from .model.frame import Frame
 
 logger = get_logger("checkpoint")

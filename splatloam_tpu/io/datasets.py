@@ -13,7 +13,7 @@ import numpy as np
 from ..config import Configuration, DatasetType
 from ..logging_utils import get_logger
 from .pointcloud import (PointCloudReader_BIN, PointCloudReader_PCD,
-                         PointCloudReader_PLY, PointCloudReader_ROSBAG,
+                         PointCloudReader_ROSBAG,
                          pointcloud_reader_available)
 from .trajectory import (TrajectoryReader_KITTI, TrajectoryReader_NULL,
                          TrajectoryReader_TUM, TrajectoryReader_VILENS,

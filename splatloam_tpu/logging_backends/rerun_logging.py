@@ -8,7 +8,6 @@ from __future__ import annotations
 import numpy as np
 import rerun as rr
 
-from ..geometry import se3
 from ..logging_utils import get_logger
 
 logger = get_logger("rerun")
@@ -39,7 +38,6 @@ class DataLoggerRR:
         arrs = compact_arrays(surfels)
         if len(arrs["xyz"]) == 0:
             return
-        import jax.numpy as jnp
         scales = np.exp(arrs["log_scale"])
         half_sizes = np.concatenate(
             [scales, np.full((len(scales), 1), 1e-3)], axis=-1)

@@ -17,8 +17,6 @@ the single-device renderer runs unchanged inside shard_map.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
