@@ -3,35 +3,50 @@
 
 Workload matches the reference's hot loop (SURVEY.md §3.3 / BASELINE.md
 config 2): 100k surfels rendered+differentiated through a 64x1024 spherical
-range image — the mapper runs this 200-500x per keyframe.  Prints ONE JSON
-line: rays/s (pixels * iters / sec, fwd+bwd through the full loss chain).
+range image — the mapper runs this 200-500x per keyframe.
+
+Prints one JSON result line per stage (stdout, flushed); the LAST line is
+the headline `render_fwd_bwd_rays_per_s` number.  A small fast-compiling
+stage runs first so a result lands even if the full-size program hits a
+cold compile cache; the full stage is skipped if the remaining wall-clock
+budget (--budget, default 480 s) can't cover a worst-case remote compile.
 
 vs_baseline: ratio against 5.0e7 rays/s, our estimate of the reference CUDA
 ``diff-surfel-spherical-rasterization`` fwd+bwd on a desktop GPU (~1.3 ms
 per 64x1024 fwd+bwd iteration at 100k splats; the repo publishes no numbers
 — see BASELINE.md).
+
+--parity: instead of throughput, run forward+gradient parity of the Pallas
+kernels against the golden jnp oracle ON HARDWARE (the interpret-mode test
+suite can't see real VMEM initialization behavior) and print max-abs-diff
+JSON lines, including an adversarial transmittance-early-exit scene.
 """
+import argparse
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
-
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-from splatloam_tpu.cli import _enable_compilation_cache
-_enable_compilation_cache()
+_T0 = time.perf_counter()
 
 BASELINE_RAYS_PER_S = 5.0e7
 H, W = 64, 1024
 N_SURFELS = 100_000
-ITERS = 30
 
 
-def make_scene(rng, n):
+def _elapsed():
+    return time.perf_counter() - _T0
+
+
+def emit(obj):
+    print(json.dumps(obj), flush=True)
+
+
+def make_scene(rng, n, h=H, w=W):
+    import jax.numpy as jnp
+    import numpy as np
     from splatloam_tpu.geometry import se3, spherical
+
     theta = rng.uniform(-np.pi, np.pi, n)
     z = rng.uniform(-2.0, 4.0, n)
     r = rng.uniform(6.0, 50.0, n)
@@ -44,28 +59,22 @@ def make_scene(rng, n):
     quat = np.asarray(se3.quat_from_normal(jnp.asarray(normals)))
     scales = rng.uniform(0.05, 0.3, (n, 2)).astype(np.float32)
     opac = rng.uniform(0.3, 0.95, n).astype(np.float32)
-    K, _, _ = spherical.spherical_intrinsics(jnp.asarray(xyz), H, W)
+    K, _, _ = spherical.spherical_intrinsics(jnp.asarray(xyz), h, w)
     return (jnp.asarray(xyz), jnp.asarray(scales), jnp.asarray(quat),
             jnp.asarray(opac), jnp.eye(4), jnp.asarray(K))
 
 
-def main():
-    from splatloam_tpu.ops.rasterizer import RenderParams, render
+def _build_block(args, params, rebin):
+    """One jitted block: rebin once, then `rebin` fwd+bwd+SGD iterations
+    (the mapper's production structure, slam/mapper.py _optimize_impl)."""
+    import jax
+    import jax.numpy as jnp
+    from splatloam_tpu.ops.rasterizer import render
     from splatloam_tpu.ops.rasterizer.api import prepare_tiles
 
-    on_tpu = jax.default_backend() == "tpu"
-    # the mapper's production configuration: median/dist channels off (not
-    # in the loss), tile lists rebuilt once per REBIN-iteration block
-    params = RenderParams(height=H, width=W,
-                          backend="pallas" if on_tpu else "jnp",
-                          chunk=256, tile_h=8, tile_w=32,
-                          tile_list_capacity=3072,
-                          with_median=False, with_dist=False)
-    REBIN = 8
-    rng = np.random.default_rng(0)
-    args = make_scene(rng, N_SURFELS)
-    gt_depth = jnp.ones((H, W)) * 10.0
-    valid = jnp.ones((H, W), bool)
+    h, w = params.height, params.width
+    gt_depth = jnp.ones((h, w)) * 10.0
+    valid = jnp.ones((h, w), bool)
 
     def loss(xyz, scales, quat, opac, tiles):
         pkg = render(xyz, scales, quat, opac, args[4], args[5], params,
@@ -89,35 +98,178 @@ def main():
             # mapper applies Adam here)
             return jax.tree_util.tree_map(lambda a, b: a - 1e-5 * b, p, g)
 
-        return jax.lax.fori_loop(0, REBIN, body,
+        return jax.lax.fori_loop(0, rebin, body,
                                  (xyz, scales, quat, opac))
 
-    g = block(*args[:4])
-    jax.block_until_ready(g)
+    return block
 
+
+def _run_stage(name, n_surfels, iters, rebin, params, final):
+    import jax
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    args = make_scene(rng, n_surfels)
+    block = _build_block(args, params, rebin)
+
+    g = block(*args[:4])           # compile + warm
+    jax.block_until_ready(g)
     t0 = time.perf_counter()
-    for _ in range(ITERS):
+    for _ in range(iters):
         g = block(*args[:4])
     jax.block_until_ready(g)
     dt = time.perf_counter() - t0
-    total_iters = ITERS * REBIN
+    total_iters = iters * rebin
 
     rays_per_s = H * W * total_iters / dt
-    msplats_per_s = N_SURFELS * total_iters / dt / 1e6
-    print(json.dumps({
+    emit({
         "metric": "render_fwd_bwd_rays_per_s",
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 4),
         "extra": {
-            "msplats_per_s": round(msplats_per_s, 2),
+            "stage": name,
+            "final": final,
+            "msplats_per_s": round(n_surfels * total_iters / dt / 1e6, 2),
             "iter_ms": round(dt / total_iters * 1e3, 3),
-            "surfels": N_SURFELS, "image": [H, W],
+            "surfels": n_surfels, "image": [H, W],
             "backend": params.backend,
             "device": str(jax.devices()[0]),
+            "elapsed_s": round(_elapsed(), 1),
         },
-    }))
+    })
+    return rays_per_s
+
+
+def run_throughput(budget_s):
+    import jax
+    from splatloam_tpu.ops.rasterizer import RenderParams
+
+    on_tpu = jax.default_backend() == "tpu"
+    backend = "pallas" if on_tpu else "jnp"
+    # the mapper's production configuration: median/dist channels off (not
+    # in the loss), tile lists rebuilt once per REBIN-iteration block
+    params = RenderParams(height=H, width=W, backend=backend,
+                          chunk=256, tile_h=8, tile_w=32,
+                          tile_list_capacity=3072,
+                          with_median=False, with_dist=False)
+
+    # Stage 1: small pool, rebin=1 — one small program, lands a number fast
+    small = RenderParams(height=H, width=W, backend=backend,
+                         chunk=256, tile_h=8, tile_w=32,
+                         tile_list_capacity=1024,
+                         with_median=False, with_dist=False)
+    _run_stage("quick-20k", 20_000, 5, 1, small, final=False)
+
+    # Stage 2: the headline 100k-surfel mapper block.  Skip only if the
+    # remaining budget can't absorb a cold remote compile (~240 s) plus
+    # the measurement itself.
+    remaining = budget_s - _elapsed()
+    if remaining < 60.0:
+        emit({"metric": "bench_note", "value": 0, "unit": "",
+              "note": f"budget exhausted ({remaining:.0f}s left); "
+                      "quick stage stands as headline"})
+        return
+    try:
+        _run_stage("full-100k", N_SURFELS, 30, 8, params, final=True)
+    except Exception as e:  # noqa: BLE001 — stage 1 already landed a number
+        emit({"metric": "bench_note", "value": 0, "unit": "",
+              "note": f"full stage failed: {type(e).__name__}: {e}"})
+
+
+def run_parity():
+    """Hardware parity of Pallas vs jnp-golden (fwd + grad), incl. an
+    adversarial early-exit scene (opaque near wall over many chunks)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from splatloam_tpu.geometry import se3
+    from splatloam_tpu.ops.rasterizer import RenderParams
+    from splatloam_tpu.ops.rasterizer.jnp_ref import rasterize_jnp
+    from splatloam_tpu.ops.rasterizer.pallas_raster import rasterize_pallas
+
+    rng = np.random.default_rng(0)
+
+    def report(tag, keys, ref, out, extra=None):
+        diffs = {}
+        ok = True
+        for k, tol in keys:
+            d = float(np.max(np.abs(np.asarray(out[k], np.float32)
+                                    - np.asarray(ref[k], np.float32))))
+            diffs[k] = d
+            ok = ok and d <= tol
+        emit({"metric": f"parity_{tag}", "value": int(ok),
+              "unit": "bool(1=pass)", "max_abs_diff": diffs,
+              "device": str(jax.devices()[0]), **(extra or {})})
+        return ok
+
+    # -- full-size forward parity at production tiles -------------------
+    params = RenderParams(height=H, width=W, backend="pallas",
+                          chunk=256, tile_h=8, tile_w=32,
+                          tile_list_capacity=3072)
+    args = make_scene(rng, 20_000)
+    ref = rasterize_jnp(*args, H, W)
+    out = rasterize_pallas(*args, params)
+    report("forward_64x1024_20k",
+           [("alpha", 5e-4), ("depth_sum", 5e-3), ("normal_sum", 5e-3)],
+           ref, out)
+
+    # -- gradient parity on an early-exit adversarial scene -------------
+    h2, w2 = 16, 256
+    p2 = RenderParams(height=h2, width=w2, backend="pallas", chunk=128,
+                      tile_h=8, tile_w=32, tile_list_capacity=512)
+    base = make_scene(rng, 500, h2, w2)
+    thw = np.linspace(-np.pi, np.pi, 64, endpoint=False)
+    wall = np.stack([2 * np.cos(thw), 2 * np.sin(thw),
+                     np.zeros(64)], -1).astype(np.float32)
+    wn = -wall / np.linalg.norm(wall, axis=-1, keepdims=True)
+    wq = np.asarray(se3.quat_from_normal(jnp.asarray(wn)))
+    xyz = jnp.concatenate([jnp.asarray(wall), base[0]])
+    quat = jnp.concatenate([jnp.asarray(wq), base[2]])
+    scales = jnp.concatenate([jnp.full((64, 2), 1.2), base[1]])
+    opac = jnp.concatenate([jnp.full((64,), 0.999), base[3]])
+    T, K = base[4], base[5]
+
+    def loss(fn):
+        def f(xyz, s, q, o):
+            c = fn(xyz, s, q, o)
+            return (jnp.sum(c["depth_sum"]) * 0.1 + jnp.sum(c["alpha"])
+                    + 0.5 * jnp.sum(c["normal_sum"]))
+        return f
+
+    g_ref = jax.grad(loss(lambda *a: rasterize_jnp(*a, T, K, h2, w2)),
+                     argnums=(0, 1, 2, 3))(xyz, scales, quat, opac)
+    g_pal = jax.grad(loss(lambda *a: rasterize_pallas(*a, T, K, p2)),
+                     argnums=(0, 1, 2, 3))(xyz, scales, quat, opac)
+    names = ["xyz", "scales", "quat", "opacity"]
+    ok = True
+    diffs = {}
+    for name, gr, gp in zip(names, g_ref, g_pal):
+        gr, gp = np.asarray(gr), np.asarray(gp)
+        scale = float(np.abs(gr).max()) + 1e-6
+        d = float(np.max(np.abs(gp - gr)))
+        diffs[name] = d
+        ok = ok and d <= 3e-3 * scale
+    emit({"metric": "parity_grad_early_exit", "value": int(ok),
+          "unit": "bool(1=pass)", "max_abs_diff": diffs,
+          "device": str(jax.devices()[0])})
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--budget", type=float,
+                    default=float(os.environ.get("BENCH_BUDGET_S", "480")))
+    ap.add_argument("--parity", action="store_true")
+    opts = ap.parse_args()
+
+    from splatloam_tpu.cli import _enable_compilation_cache
+    _enable_compilation_cache()
+
+    if opts.parity:
+        run_parity()
+    else:
+        run_throughput(opts.budget)
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -67,6 +67,145 @@ def sample_geometric_probs(n: int, last_kf_prob: float | None,
     return out
 
 
+def run_block_loop(surfels, adam, log_probs, key, *, num_iters: int,
+                   rebin: int, early: bool, patience_blocks: int,
+                   es_threshold: float, make_tiles, one_iter):
+    """Shared optimize scaffold: while_loop over rebin-blocks with EMA
+    early stopping (used by both the single-device jit program and the
+    shard_map'd multi-device program — keeping their iteration schedules,
+    keyframe sampling and stopping rules bitwise-identical).
+
+    make_tiles(surfels, kf_idx) -> frozen tile assignment (or None);
+    one_iter(surfels, adam, kf_idx, tiles) -> (surfels, adam, loss).
+    """
+    n_blocks = (num_iters + rebin - 1) // rebin
+    keys = jax.random.split(key, n_blocks)
+
+    def block_body(state):
+        surf, st, ema, best, stalled, b = state
+        kf_idx = jax.random.categorical(keys[b], log_probs)
+        tiles = make_tiles(surf, kf_idx)
+
+        def inner(_, c2):
+            surf, st, ema = c2
+            surf, st, loss = one_iter(surf, st, kf_idx, tiles)
+            ema = jnp.where(jnp.isnan(ema), loss, 0.1 * loss + 0.9 * ema)
+            return (surf, st, ema)
+
+        surf, st, ema = jax.lax.fori_loop(0, rebin, inner, (surf, st, ema))
+        improved = ema < best * (1.0 - es_threshold)
+        best = jnp.minimum(best, ema)
+        stalled = jnp.where(improved, 0, stalled + 1)
+        return (surf, st, ema, best, stalled, b + 1)
+
+    def block_cond(state):
+        _, _, _, _, stalled, b = state
+        keep = b < n_blocks
+        if early:
+            # early stopping (cfg early_stop_*: declared but unused in
+            # the reference; implemented here as a real while_loop exit)
+            keep = keep & (stalled < patience_blocks)
+        return keep
+
+    state = (surfels, adam, jnp.float32(jnp.nan), jnp.float32(jnp.inf),
+             jnp.int32(0), jnp.int32(0))
+    surfels, adam, ema, _, _, n_run = jax.lax.while_loop(
+        block_cond, block_body, state)
+    return surfels, adam, ema, n_run * rebin
+
+
+def densify_core(surfels: S.Surfels, adam: S.AdamState, camera: Camera,
+                 key, pkg, *, mc, max_new: int, height: int, width: int):
+    """Densification math on full-image channels (ref slam/mapper.py:49-138).
+
+    ``pkg`` is None on model initialization, else a dict with full-image
+    ``rend_alpha`` / ``surf_depth``.  Pure function of full (unsharded)
+    arrays so the sharded path can row-shard only the render and reuse
+    everything else verbatim.
+    """
+    valid = camera.valid
+    if pkg is None:
+        densify_mask = valid
+    else:
+        mask_opacity = pkg["rend_alpha"] <= mc.densify_threshold_opacity
+        densify_mask = mask_opacity & valid
+        if mc.densify_threshold_egeom > 0.0:
+            est = pkg["surf_depth"]
+            geom_loss = jnp.abs(camera.depth - est) * valid
+            q95 = jnp.quantile(geom_loss, 0.95)
+            mask_depth = (est > camera.depth) & (geom_loss > q95)
+            densify_mask = densify_mask | mask_depth
+
+    n_cand = jnp.sum(densify_mask)
+    n_samples = (mc.densify_percentage * n_cand).astype(jnp.int32)
+
+    grad = spherical.depth_gradient(camera.depth, valid)
+    grad = grad / jnp.maximum(jnp.max(grad), 1e-12)
+    weight = jnp.where(densify_mask, grad, 0.0).reshape(-1)
+    # no-op conditions (ref :82-91): <2 samples or all-zero weights
+    do_densify = (n_samples >= 2) & (jnp.sum(weight) > 1e-5)
+    n_samples = jnp.minimum(n_samples,
+                            jnp.sum(weight > 0).astype(jnp.int32))
+    n_samples = jnp.where(do_densify, n_samples, 0)
+
+    # Gumbel-top-k == weighted sampling without replacement
+    g = jax.random.gumbel(key, weight.shape)
+    scores = jnp.where(weight > 0, jnp.log(weight) + g, -jnp.inf)
+    _, flat_idx = jax.lax.top_k(scores, max_new)
+    chosen = jnp.arange(max_new) < jnp.minimum(n_samples, max_new)
+
+    pts_model = spherical.depth_to_points(
+        camera.depth, camera.K, se3.invert_T(camera.T_cw))
+    new_xyz = pts_model.reshape(-1, 3)[flat_idx]
+
+    # scale init: 3-NN over (new + existing) points (ref :113-117)
+    all_pts = jnp.concatenate([new_xyz, surfels.params.xyz], axis=0)
+    all_mask = jnp.concatenate([chosen, surfels.active])
+    d2 = knn.mean_sq_dist_knn(all_pts, all_mask)[:max_new]
+    d2 = jnp.clip(d2, 1e-7, mc.opt_scaling_max ** 2)
+    new_log_scale = jnp.tile(0.5 * jnp.log(d2)[:, None], (1, 2))
+
+    # rotation init: sensor-frame normals -> model frame (ref :121-124)
+    R_mf = camera.T_cw[:3, :3].T
+    n_img = camera.normal.reshape(-1, 3)[flat_idx]
+    n_model = n_img @ R_mf.T
+    # guard degenerate normals for padding rows
+    n_norm = jnp.linalg.norm(n_model, axis=-1, keepdims=True)
+    n_model = jnp.where(n_norm > 1e-6, n_model,
+                        jnp.array([0.0, 0.0, 1.0]))
+    new_quat = se3.quat_from_normal(n_model)
+
+    new_logit_op = jnp.full((max_new,), S.inverse_sigmoid(0.9),
+                            jnp.float32)
+    new_params = S.SurfelParams(xyz=new_xyz, log_scale=new_log_scale,
+                                quat=new_quat,
+                                logit_opacity=new_logit_op)
+    surfels, adam, n_written = S.insert_surfels(
+        surfels, adam, new_params, n_samples)
+
+    sampled_mask = jnp.zeros((height * width,), bool)
+    sampled_mask = sampled_mask.at[flat_idx].set(chosen)
+    return surfels, adam, n_written, sampled_mask.reshape(height, width)
+
+
+def prune_core(surfels: S.Surfels, *, mc):
+    """Prune mask by opacity/scale thresholds (ref slam/mapper.py:216-233).
+
+    Elementwise over the surfel pool, so it runs unchanged on sharded
+    state (GSPMD propagates the "model"-axis sharding through it).
+    """
+    prune = jnp.zeros((surfels.capacity,), bool)
+    if mc.pruning_min_opacity and mc.pruning_min_opacity > 0:
+        op = jax.nn.sigmoid(surfels.params.logit_opacity)
+        prune = prune | (op < mc.pruning_min_opacity)
+    if mc.pruning_min_size and mc.pruning_min_size > 0:
+        snorm = jnp.linalg.norm(jnp.exp(surfels.params.log_scale),
+                                axis=-1)
+        prune = prune | (snorm < mc.pruning_min_size)
+    prune = prune & surfels.active
+    return S.prune_surfels(surfels, prune), jnp.sum(prune)
+
+
 class MapperPrograms:
     """Jitted mapping programs specialized to (H, W, capacity)."""
 
@@ -106,79 +245,16 @@ class MapperPrograms:
     # ------------------------------------------------------------------
     def _densify_impl(self, surfels: S.Surfels, adam: S.AdamState,
                       camera: Camera, key, *, initialize: bool):
-        mc = self.cfg.mapping
-        valid = camera.valid
-
         if initialize:
-            densify_mask = valid
+            pkg = None
         else:
             pkg = render(surfels.params.xyz, surfels.scaling,
                          surfels.rotation, surfels.opacity,
                          camera.T_cw, camera.K, self.params,
                          self.cfg.opt.depth_ratio)
-            mask_opacity = pkg["rend_alpha"] <= mc.densify_threshold_opacity
-            densify_mask = mask_opacity & valid
-            if mc.densify_threshold_egeom > 0.0:
-                est = pkg["surf_depth"]
-                geom_loss = jnp.abs(camera.depth - est) * valid
-                q95 = jnp.quantile(geom_loss, 0.95)
-                mask_depth = (est > camera.depth) & (geom_loss > q95)
-                densify_mask = densify_mask | mask_depth
-
-        n_cand = jnp.sum(densify_mask)
-        n_samples = (mc.densify_percentage * n_cand).astype(jnp.int32)
-
-        grad = spherical.depth_gradient(camera.depth, valid)
-        grad = grad / jnp.maximum(jnp.max(grad), 1e-12)
-        weight = jnp.where(densify_mask, grad, 0.0).reshape(-1)
-        # no-op conditions (ref :82-91): <2 samples or all-zero weights
-        do_densify = (n_samples >= 2) & (jnp.sum(weight) > 1e-5)
-        n_samples = jnp.minimum(n_samples,
-                                jnp.sum(weight > 0).astype(jnp.int32))
-        n_samples = jnp.where(do_densify, n_samples, 0)
-
-        # Gumbel-top-k == weighted sampling without replacement
-        g = jax.random.gumbel(key, weight.shape)
-        scores = jnp.where(weight > 0, jnp.log(weight) + g, -jnp.inf)
-        _, flat_idx = jax.lax.top_k(scores, self.max_new)
-        chosen = jnp.arange(self.max_new) < jnp.minimum(n_samples,
-                                                        self.max_new)
-
-        pts_model = spherical.depth_to_points(
-            camera.depth, camera.K, se3.invert_T(camera.T_cw))
-        new_xyz = pts_model.reshape(-1, 3)[flat_idx]
-
-        # scale init: 3-NN over (new + existing) points (ref :113-117)
-        all_pts = jnp.concatenate([new_xyz, surfels.params.xyz], axis=0)
-        all_mask = jnp.concatenate([chosen, surfels.active])
-        d2 = knn.mean_sq_dist_knn(all_pts, all_mask)[:self.max_new]
-        d2 = jnp.clip(d2, 1e-7, mc.opt_scaling_max ** 2)
-        new_log_scale = jnp.tile(
-            0.5 * jnp.log(d2)[:, None], (1, 2))  # log(sqrt(d2))
-
-        # rotation init: sensor-frame normals -> model frame (ref :121-124)
-        R_mf = camera.T_cw[:3, :3].T
-        n_img = camera.normal.reshape(-1, 3)[flat_idx]
-        n_model = n_img @ R_mf.T
-        # guard degenerate normals for padding rows
-        n_norm = jnp.linalg.norm(n_model, axis=-1, keepdims=True)
-        n_model = jnp.where(n_norm > 1e-6, n_model,
-                            jnp.array([0.0, 0.0, 1.0]))
-        new_quat = se3.quat_from_normal(n_model)
-
-        new_logit_op = jnp.full((self.max_new,),
-                                S.inverse_sigmoid(0.9), jnp.float32)
-        new_params = S.SurfelParams(xyz=new_xyz,
-                                    log_scale=new_log_scale,
-                                    quat=new_quat,
-                                    logit_opacity=new_logit_op)
-        surfels, adam, n_written = S.insert_surfels(
-            surfels, adam, new_params, n_samples)
-
-        sampled_mask = jnp.zeros((self.height * self.width,), bool)
-        sampled_mask = sampled_mask.at[flat_idx].set(chosen)
-        return surfels, adam, n_written, sampled_mask.reshape(
-            self.height, self.width)
+        return densify_core(surfels, adam, camera, key, pkg,
+                            mc=self.cfg.mapping, max_new=self.max_new,
+                            height=self.height, width=self.width)
 
     # ------------------------------------------------------------------
     # optimize (ref slam/mapper.py:140-214)
@@ -225,80 +301,42 @@ class MapperPrograms:
                        kf: KeyframeBatch, key):
         from ..ops.rasterizer.api import prepare_tiles
         grad_fn = jax.value_and_grad(self._loss)
-        num_iters = self.cfg.mapping.num_iterations + 1  # ref :150
+        mc = self.cfg.mapping
         # amortized rebinning: a keyframe view + its tile lists are held
         # fixed for rebin_every consecutive Adam steps (exact when 1; the
         # binning radius carries a pixel margin to absorb parameter drift)
         rebin = max(1, int(self.cfg.compute.rebin_every))
-        n_blocks = (num_iters + rebin - 1) // rebin
 
-        mc = self.cfg.mapping
-        early = bool(mc.early_stop_enable)
-        patience_blocks = max(1, int((mc.early_stop_patience or 100)
-                                     // rebin))
-        es_threshold = float(mc.early_stop_threshold or 0.01)
-        keys = jax.random.split(key, n_blocks)
-
-        def block_body(state):
-            surf, st, ema, best, stalled, b = state
-            blk_key = keys[b]
-            kf_idx = jax.random.categorical(blk_key, kf.log_probs)
-            cam_K = kf.K[kf_idx]
-            cam_T = kf.T_cw[kf_idx]
+        def make_tiles(surf, kf_idx):
             scaling = jnp.exp(surf.params.log_scale)
             opacity = jax.nn.sigmoid(surf.params.logit_opacity) * \
                 surf.active
-            tiles = prepare_tiles(surf.params.xyz, scaling,
-                                  surf.params.quat, opacity, cam_T, cam_K,
-                                  self.params,
-                                  margin_px=self.cfg.compute.bin_margin_px)
+            return prepare_tiles(surf.params.xyz, scaling,
+                                 surf.params.quat, opacity,
+                                 kf.T_cw[kf_idx], kf.K[kf_idx],
+                                 self.params,
+                                 margin_px=self.cfg.compute.bin_margin_px)
 
-            def inner(_, c2):
-                surf, st, ema = c2
-                loss, grads = grad_fn(surf.params, surf.active, kf,
-                                      kf_idx, tiles)
-                surf, st = S.adam_step(surf, st, grads, self.hyper)
-                ema = jnp.where(jnp.isnan(ema), loss,
-                                0.1 * loss + 0.9 * ema)
-                return (surf, st, ema)
+        def one_iter(surf, st, kf_idx, tiles):
+            loss, grads = grad_fn(surf.params, surf.active, kf, kf_idx,
+                                  tiles)
+            surf, st = S.adam_step(surf, st, grads, self.hyper)
+            return surf, st, loss
 
-            surf, st, ema = jax.lax.fori_loop(0, rebin, inner,
-                                              (surf, st, ema))
-            improved = ema < best * (1.0 - es_threshold)
-            best = jnp.minimum(best, ema)
-            stalled = jnp.where(improved, 0, stalled + 1)
-            return (surf, st, ema, best, stalled, b + 1)
-
-        def block_cond(state):
-            _, _, _, _, stalled, b = state
-            keep = b < n_blocks
-            if early:
-                # early stopping (cfg early_stop_*: declared but unused in
-                # the reference; implemented here as a real while_loop exit)
-                keep = keep & (stalled < patience_blocks)
-            return keep
-
-        state = (surfels, adam, jnp.float32(jnp.nan),
-                 jnp.float32(jnp.inf), jnp.int32(0), jnp.int32(0))
-        surfels, adam, ema, _, _, n_run = jax.lax.while_loop(
-            block_cond, block_body, state)
-        return surfels, adam, ema, n_run * rebin
+        return run_block_loop(
+            surfels, adam, kf.log_probs, key,
+            num_iters=mc.num_iterations + 1,  # ref :150
+            rebin=rebin, early=bool(mc.early_stop_enable),
+            patience_blocks=max(1, int((mc.early_stop_patience or 100)
+                                       // rebin)),
+            es_threshold=float(mc.early_stop_threshold or 0.01),
+            make_tiles=make_tiles, one_iter=one_iter)
 
     # ------------------------------------------------------------------
     # prune (ref slam/mapper.py:216-233)
     # ------------------------------------------------------------------
     def _prune_impl(self, surfels: S.Surfels):
-        mc = self.cfg.mapping
-        prune = jnp.zeros((surfels.capacity,), bool)
-        if mc.pruning_min_opacity and mc.pruning_min_opacity > 0:
-            op = jax.nn.sigmoid(surfels.params.logit_opacity)
-            prune = prune | (op < mc.pruning_min_opacity)
-        if mc.pruning_min_size and mc.pruning_min_size > 0:
-            snorm = jnp.linalg.norm(jnp.exp(surfels.params.log_scale),
-                                    axis=-1)
-            prune = prune | (snorm < mc.pruning_min_size)
-        prune = prune & surfels.active
-        return S.prune_surfels(surfels, prune), jnp.sum(prune)
+        return prune_core(surfels, mc=self.cfg.mapping)
 
 
 class Mapper:
@@ -354,43 +392,30 @@ class Mapper:
             K=stack["K"], T_cw=stack["T_cw"], depth=stack["depth"],
             valid=stack["valid"], log_probs=jnp.asarray(log_probs))
 
-    def _optimize_sharded(self, model: LocalModel, progs: MapperPrograms):
-        """Multi-device optimize: host-side keyframe sampling, sharded
-        render+loss+Adam per iteration (parallel/sharded.py)."""
-        import numpy as np
+    def _sharded_programs(self, progs: MapperPrograms):
+        """Build (once per program signature) the fully device-resident
+        sharded densify/optimize/prune programs (parallel/sharded.py).
 
-        from ..model import surfels as S
-        from ..parallel.sharded import (shard_model_state,
-                                        sharded_train_step)
+        Replaces the round-1 host-loop `_optimize_sharded`: the whole
+        optimize schedule (keyframe sampling, rebinning, early stop) now
+        runs inside ONE jitted shard_map while_loop — no per-iteration
+        host sync or keyframe re-staging."""
+        from ..parallel.sharded import (sharded_densify, sharded_optimize,
+                                        sharded_prune)
 
         mc = self.cfg.mapping
         sig = (progs.height, progs.width, progs.capacity)
         if sig not in self._sharded_steps:
-            self._sharded_steps[sig] = sharded_train_step(
-                self._mesh, progs.params, self.hyper_for(progs),
-                lambda_alpha=mc.opt_lambda_alpha,
-                lambda_normal=mc.opt_lambda_normal,
-                scaling_max=mc.opt_scaling_max,
-                scaling_max_penalty=mc.opt_scaling_max_penalty,
-                depth_ratio=self.cfg.opt.depth_ratio)
-        step = self._sharded_steps[sig]
-
-        surf_sh, adam_sh = shard_model_state(self._mesh, model.surfels,
-                                             model.adam)
-        n_kf = len(model.keyframes)
-        probs = sample_geometric_probs(n_kf, mc.prob_view_last_keyframe,
-                                       n_kf)
-        rng = np.random.default_rng(int(self._next_key()[0]))
-        ema = None
-        for _ in range(mc.num_iterations + 1):
-            kf = model.keyframes[rng.choice(n_kf, p=probs[:n_kf])]
-            cam = kf.camera_in_model()
-            surf_sh, adam_sh, loss = step(surf_sh, adam_sh, cam.K,
-                                          cam.T_cw, cam.depth, cam.valid)
-            loss = float(loss)
-            ema = loss if ema is None else 0.1 * loss + 0.9 * ema
-        model.surfels, model.adam = surf_sh, adam_sh
-        return ema
+            self._sharded_steps[sig] = {
+                "densify": sharded_densify(
+                    self._mesh, progs.params, mc, progs.max_new,
+                    self.cfg.opt.depth_ratio),
+                "optimize": sharded_optimize(
+                    self._mesh, progs.params, progs.hyper, mc,
+                    self.cfg.compute, self.cfg.opt.depth_ratio),
+                "prune": sharded_prune(self._mesh, mc),
+            }
+        return self._sharded_steps[sig]
 
     def hyper_for(self, progs: MapperPrograms):
         return progs.hyper
@@ -408,33 +433,47 @@ class Mapper:
         model.ensure_free_slots(progs.max_new)
         if model.capacity != progs.capacity:
             progs = self.programs_for(h, w, model.capacity)
+        sharded = (self._sharded_programs(progs)
+                   if self._mesh is not None else None)
+        if sharded is not None:
+            # keep the pool device-resident in its sharded layout (no-op
+            # once placed; re-shards after host-side capacity growth)
+            from ..parallel.sharded import shard_model_state
+            model.surfels, model.adam = shard_model_state(
+                self._mesh, model.surfels, model.adam)
 
         with prof.phase("map.densify"):
-            model.surfels, model.adam, n_new, sampled = progs._densify(
-                model.surfels, model.adam, cam, self._next_key(),
-                initialize=initialize_model)
+            if sharded is not None:
+                model.surfels, model.adam, n_new, sampled = \
+                    sharded["densify"][bool(initialize_model)](
+                        model.surfels, model.adam, cam, self._next_key())
+            else:
+                model.surfels, model.adam, n_new, sampled = progs._densify(
+                    model.surfels, model.adam, cam, self._next_key(),
+                    initialize=initialize_model)
             n_new = int(n_new)
         logger.info(f"Adding {n_new} new gaussians")
+        self._last_densify_mask = sampled
 
         # pad keyframe count to a multiple of keyframe_capacity so the
         # optimize program only recompiles when a new bucket is reached
         bucket = max(int(self.cfg.compute.keyframe_capacity), 1)
         kf_cap = ((len(model.keyframes) + bucket - 1) // bucket) * bucket
-        if self._mesh is not None:
-            with prof.phase("map.optimize"):
-                ema = self._optimize_sharded(model, progs)
-        else:
-            with prof.phase("map.stack_kf"):
-                kf = self._stack_keyframes(kf_cap)
-            with prof.phase("map.optimize"):
-                model.surfels, model.adam, ema, n_iters = progs._optimize(
-                    model.surfels, model.adam, kf, self._next_key())
-                ema.block_until_ready()
-            logger.debug(f"optimize done after {int(n_iters)} iters, "
-                         f"loss_ema={float(ema):.4f}")
+        with prof.phase("map.stack_kf"):
+            kf = self._stack_keyframes(kf_cap)
+        with prof.phase("map.optimize"):
+            opt = (sharded["optimize"] if sharded is not None
+                   else progs._optimize)
+            model.surfels, model.adam, ema, n_iters = opt(
+                model.surfels, model.adam, kf, self._next_key())
+            ema.block_until_ready()
+        logger.debug(f"optimize done after {int(n_iters)} iters, "
+                     f"loss_ema={float(ema):.4f}")
 
         with prof.phase("map.prune"):
-            model.surfels, n_pruned = progs._prune(model.surfels)
+            pr = (sharded["prune"] if sharded is not None
+                  else progs._prune)
+            model.surfels, n_pruned = pr(model.surfels)
             n_pruned = int(n_pruned)
         logger.info(f"Pruning {n_pruned} gaussians")
         self._last_ema = ema

@@ -132,6 +132,45 @@ def test_forward_parity_production_tiles(rng):
                                np.asarray(ref["normal_sum"]), atol=3e-4)
 
 
+def test_gradient_parity_early_exit(rng):
+    """Adversarial: an opaque near wall saturates transmittance in the
+    first chunk while many far chunks exist — the forward's early exit
+    must leave the skipped chunks' T_start boundaries zeroed so the
+    backward's liveness scan never resurrects a dead chunk (VERDICT
+    round-1 weak #4)."""
+    xyz, scales, quat, opac, T, K = _scene(rng, n=500)
+    # near wall: 64 surfels at radius 2 covering the full azimuth band,
+    # fully opaque -> alpha saturates immediately, the remaining ~3.5
+    # chunks (capacity 512 / chunk 128) of far surfels are skipped
+    thw = np.linspace(-np.pi, np.pi, 64, endpoint=False)
+    wall = np.stack([2 * np.cos(thw), 2 * np.sin(thw),
+                     np.zeros(64)], -1).astype(np.float32)
+    wn = -wall / np.linalg.norm(wall, axis=-1, keepdims=True)
+    wq = np.asarray(se3.quat_from_normal(jnp.asarray(wn)))
+    xyz = jnp.concatenate([jnp.asarray(wall), xyz])
+    quat = jnp.concatenate([jnp.asarray(wq), quat])
+    scales = jnp.concatenate([jnp.full((64, 2), 1.2), scales])
+    opac = jnp.concatenate([jnp.full((64,), 0.999), opac])
+
+    def loss(fn):
+        def f(xyz, s, q, o):
+            c = fn(xyz, s, q, o)
+            return (jnp.sum(c["depth_sum"]) * 0.1 + jnp.sum(c["alpha"])
+                    + 0.5 * jnp.sum(c["normal_sum"]))
+        return f
+
+    ref_fn = loss(lambda *a: rasterize_jnp(*a, T, K, H, W))
+    pal_fn = loss(lambda *a: rasterize_pallas(*a, T, K, PARAMS))
+    g_ref = jax.grad(ref_fn, argnums=(0, 1, 2, 3))(xyz, scales, quat, opac)
+    g_pal = jax.grad(pal_fn, argnums=(0, 1, 2, 3))(xyz, scales, quat, opac)
+    for name, gr, gp in zip(["xyz", "scales", "quat", "opacity"],
+                            g_ref, g_pal):
+        gr, gp = np.asarray(gr), np.asarray(gp)
+        scale = np.abs(gr).max() + 1e-6
+        np.testing.assert_allclose(gp, gr, atol=3e-3 * scale,
+                                   err_msg=name)
+
+
 def test_tile_list_overflow_drops_far(rng):
     # capacity smaller than surfel count: nearest surfels must be kept
     params = RenderParams(height=H, width=W, backend="pallas", chunk=128,
