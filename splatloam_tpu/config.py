@@ -112,6 +112,15 @@ class AlignerParams:
     num_iterations: int = 30
     # Levenberg damping added to the normal equations diagonal.
     damping: float = 1e-6
+    # Iteration-scheduled data association: the correspondence gate starts
+    # at corr_factor_init * max_correspondence_dist and decays linearly to
+    # 1x over corr_decay_iters iterations (wider basin of convergence on
+    # aggressive motion, tight association once near the optimum).
+    corr_factor_init: float = 3.0
+    corr_decay_iters: int = 15
+    # Early termination: stop when |dx| (rad+m 6-vector norm) drops below
+    # this; 0 disables (fixed num_iterations, round-1 behavior).
+    convergence_tol: float = 1e-6
 
 
 @dataclass
@@ -155,6 +164,11 @@ class LoggingConfig:
     rerun_spawn: Optional[bool] = True
     rerun_serve_grpc: Optional[bool] = None
     rerun_connect_grpc_url: Optional[str] = None
+    # render the model at every frame and log estimated depth / normal /
+    # depth-L1 images + the transform tree + the input cloud (the
+    # reference does this unconditionally, ref slam/slam.py:72-92; it
+    # costs one extra forward render per frame, so it is gated here)
+    log_renders: Optional[bool] = True
 
 
 @dataclass

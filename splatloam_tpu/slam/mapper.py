@@ -420,6 +420,26 @@ class Mapper:
     def hyper_for(self, progs: MapperPrograms):
         return progs.hyper
 
+    def render_frame(self, frame: Frame) -> dict:
+        """Render the current model at a frame's camera (for the per-frame
+        observability images, ref slam/slam.py:81-92)."""
+        model = self.model
+        cam = frame.camera_in_model()
+        progs = self.programs_for(cam.height, cam.width, model.capacity)
+        if not hasattr(self, "_render_jit"):
+            self._render_jit = jax.jit(
+                render, static_argnames=("params", "depth_ratio"))
+        s = model.surfels
+        if self._mesh is not None:
+            # logging-only path: replicate the sharded pool on the default
+            # device rather than teaching the render jit its sharding
+            s = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(np.asarray(a)), s)
+        return self._render_jit(
+            s.params.xyz, s.scaling, s.rotation, s.opacity, cam.T_cw,
+            cam.K, params=progs.params,
+            depth_ratio=self.cfg.opt.depth_ratio)
+
     def update_model(self, frame: Frame, initialize_model: bool = False
                      ) -> None:
         """densify -> optimize -> prune (ref slam/mapper.py:33-47)."""
@@ -454,6 +474,11 @@ class Mapper:
             n_new = int(n_new)
         logger.info(f"Adding {n_new} new gaussians")
         self._last_densify_mask = sampled
+        if self.cfg.logging.enable:
+            from ..logging_backends import get_datalogger
+            get_datalogger(self.cfg).log_image(
+                "frame/densify_mask",
+                np.asarray(sampled).astype(np.float32))
 
         # pad keyframe count to a multiple of keyframe_capacity so the
         # optimize program only recompiles when a new bucket is reached

@@ -78,8 +78,37 @@ class SLAM:
         self.world_T_odom.append(wTf)
         self.timestamps.append(frame.timestamp)
         logger.info(f"t={frame.timestamp} | pos={wTf[:3, -1]}")
-        dlog.log_transform("world/model", self.local_models[-1].world_T_model)
+        self._log_frame(frame, dlog)
+
+    def _log_frame(self, frame: Frame, dlog) -> None:
+        """Per-frame observability (ref slam/slam.py:64-92): transform
+        tree, input cloud, rendered depth/normal/depth-L1 images."""
+        if not self.cfg.logging.enable:
+            return
+        lmodel = self.local_models[-1]
+        dlog.log_transform("world/model", lmodel.world_T_model)
+        dlog.log_transform("world/model/keyframe",
+                           lmodel.keyframes[-1].model_T_frame)
+        dlog.log_transform("world/model/keyframe/frame",
+                           self.tracker.keyframe_T_frame)
         dlog.log_depth_image("frame/depth_in", frame.camera.depth)
+        if not self.cfg.logging.log_renders:
+            return
+        from ..geometry import spherical
+        cam = frame.camera
+        pts = np.asarray(spherical.depth_to_points(cam.depth, cam.K))
+        valid = np.asarray(cam.valid)
+        dlog.log_pointcloud("world/model/keyframe/frame",
+                            pts[valid].reshape(-1, 3))
+        pkg = self.mapper.render_frame(frame)
+        est_depth = np.asarray(pkg["surf_depth"])
+        gt_depth = np.asarray(cam.depth)
+        depth_l1 = np.abs(est_depth - gt_depth)
+        depth_l1[~valid] = 0.0
+        est_normal = np.asarray(pkg["rend_normal"]) * 0.5 + 0.5
+        dlog.log_image("frame/normals", est_normal)
+        dlog.log_depth_image("frame/depth", est_depth)
+        dlog.log_depth_image("frame/depth_l1", depth_l1)
 
     def insert_new_keyframe(self, frame: Frame) -> None:
         """(ref slam/slam.py:95-102)"""

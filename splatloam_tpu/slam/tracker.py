@@ -51,7 +51,9 @@ def _prepare_source(depth, K, valid):
     return pts, valid.reshape(-1)
 
 
-@partial(jax.jit, static_argnames=("num_iterations", "height", "width"))
+@partial(jax.jit, static_argnames=("num_iterations", "height", "width",
+                                   "corr_factor_init", "corr_decay_iters",
+                                   "convergence_tol"))
 def gauss_newton_align(T_init,
                        src_pts, src_valid,
                        tgt_depth, tgt_pts, tgt_normals, tgt_valid,
@@ -61,8 +63,18 @@ def gauss_newton_align(T_init,
                        huber_delta: float,
                        max_corr_dist: float,
                        inlier_threshold: float,
-                       damping: float):
-    """Projective point-to-plane GN.  All target images [H, W, ...]."""
+                       damping: float,
+                       corr_factor_init: float = 1.0,
+                       corr_decay_iters: int = 0,
+                       convergence_tol: float = 0.0):
+    """Projective point-to-plane GN.  All target images [H, W, ...].
+
+    Hardening over the plain fixed-iteration loop (gsaligner contract,
+    ref slam/tracker.py:146-188): the correspondence gate starts at
+    corr_factor_init * max_corr_dist and decays linearly to 1x over
+    corr_decay_iters (wide basin early, tight association late), and the
+    loop exits once |dx| < convergence_tol.
+    """
 
     # flat single-index gathers (2-D advanced indexing lowers to a much
     # slower gather on TPU)
@@ -70,7 +82,7 @@ def gauss_newton_align(T_init,
     tgt_p_flat = tgt_pts.reshape(-1, 3)
     tgt_v_flat = tgt_valid.reshape(-1)
 
-    def residuals(T):
+    def residuals(T, corr_dist):
         q = src_pts @ T[:3, :3].T + T[:3, 3]
         x, y, _ = spherical.project_points(K, q)
         u = jnp.mod(spherical.pixel_index(x), width)
@@ -81,11 +93,26 @@ def gauss_newton_align(T_init,
         p_t = tgt_p_flat[flat]
         r = jnp.sum(n * (q - p_t), axis=-1)
         ok = (src_valid & in_img & tgt_v_flat[flat]
-              & (jnp.abs(r) <= max_corr_dist))
+              & (jnp.abs(r) <= corr_dist))
         return r, ok, q, n
 
-    def body(_, T):
-        r, ok, q, n = residuals(T)
+    def corr_at(i):
+        if corr_decay_iters <= 0 or corr_factor_init <= 1.0:
+            return jnp.float32(max_corr_dist)
+        frac = jnp.minimum(i.astype(jnp.float32) / corr_decay_iters, 1.0)
+        factor = corr_factor_init + (1.0 - corr_factor_init) * frac
+        return max_corr_dist * factor
+
+    def cond(state):
+        i, _, dx_norm = state
+        keep = i < num_iterations
+        if convergence_tol > 0.0:
+            keep = keep & (dx_norm > convergence_tol)
+        return keep
+
+    def body(state):
+        i, T, _ = state
+        r, ok, q, n = residuals(T, corr_at(i))
         absr = jnp.abs(r)
         w = jnp.where(absr <= huber_delta, 1.0,
                       huber_delta / jnp.maximum(absr, 1e-12))
@@ -99,10 +126,12 @@ def gauss_newton_align(T_init,
         dx = -jnp.linalg.solve(H, b)
         ok_solve = jnp.all(jnp.isfinite(dx)) & (jnp.sum(ok) >= 6)
         dx = jnp.where(ok_solve, dx, 0.0)
-        return se3.exp_se3(dx) @ T
+        return (i + 1, se3.exp_se3(dx) @ T,
+                jnp.linalg.norm(dx))
 
-    T = jax.lax.fori_loop(0, num_iterations, body, T_init)
-    r, ok, _, _ = residuals(T)
+    _, T, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), T_init, jnp.float32(jnp.inf)))
+    r, ok, _, _ = residuals(T, jnp.float32(max_corr_dist))
     n_src = jnp.maximum(jnp.sum(src_valid), 1)
     fitness = jnp.sum(ok & (jnp.abs(r) < inlier_threshold)) / n_src
     return T, fitness
@@ -169,7 +198,10 @@ class AlignerGN:
             huber_delta=float(self.ap.huber_delta),
             max_corr_dist=float(self.ap.max_correspondence_dist),
             inlier_threshold=float(self.ap.inlier_threshold),
-            damping=float(self.ap.damping))
+            damping=float(self.ap.damping),
+            corr_factor_init=float(self.ap.corr_factor_init),
+            corr_decay_iters=int(self.ap.corr_decay_iters),
+            convergence_tol=float(self.ap.convergence_tol))
         self.reg_fitness = float(fitness)
         return np.asarray(T, np.float64)
 
