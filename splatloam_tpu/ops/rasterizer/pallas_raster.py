@@ -35,41 +35,43 @@ from . import binning, common
 T_EPS = 1e-4
 _INTERPRET = False  # flipped by tests on CPU
 
+# Perf-bisection hook (tools/kernel_bench.py): comma-set of
+# {noexit,noscan,nogeo} read at TRACE time.  Production paths never set it.
+import os as _os
+_ABLATE = set(filter(None, _os.environ.get("RASTER_ABLATE", "").split(",")))
+
 
 def _interpret() -> bool:
     return _INTERPRET or jax.default_backend() != "tpu"
 
 
-def _scan_prod(x, exclusive: bool):
-    """Prefix PRODUCT along the surfel (lane) axis 1 via log-shift
-    multiplies (avoids the log1p/exp transcendentals of log-space
-    compositing; products of <=chunk factors in [0,1] are fp32-safe)."""
+def _tri_mm(x, cmp):
+    """Triangular-matrix prefix/suffix sums on the MXU.
+
+    out[p, c] = sum_{c'} x[p, c'] * [cmp(c', c)] — e.g. cmp = (lt) gives the
+    EXCLUSIVE prefix sum, (le) inclusive, (gt) strict suffix.  One
+    [P,C]x[C,C] matmul replaces the log2(C) roll+select VPU passes of a
+    shift-based scan; the MXU is otherwise idle in this kernel, and fp32
+    accumulation keeps scan exactness."""
     c = x.shape[1]
-    lanes = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    shift = 1
-    while shift < c:
-        rolled = pltpu.roll(x, shift, axis=1)
-        x = x * jnp.where(lanes >= shift, rolled, 1.0)
-        shift *= 2
-    if exclusive:
-        rolled = pltpu.roll(x, 1, axis=1)
-        x = jnp.where(lanes >= 1, rolled, 1.0)
-    return x
+    r = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+    l_ = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
+    m = cmp(r, l_).astype(jnp.float32)
+    return jax.lax.dot_general(x, m, (((1,), (0,)), ((), ())),
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
 
 
-def _scan_rows(x, exclusive: bool):
-    """Prefix sum along the surfel (lane) axis 1 via log-shift adds."""
-    c = x.shape[1]
-    lanes = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    shift = 1
-    while shift < c:
-        rolled = pltpu.roll(x, shift, axis=1)
-        x = x + jnp.where(lanes >= shift, rolled, 0.0)
-        shift *= 2
-    if exclusive:
-        rolled = pltpu.roll(x, 1, axis=1)
-        x = jnp.where(lanes >= 1, rolled, 0.0)
-    return x
+def _excl_prefix_sum(x):
+    return _tri_mm(x, lambda r, l_: r < l_)
+
+
+def _incl_prefix_sum(x):
+    return _tri_mm(x, lambda r, l_: r <= l_)
+
+
+def _strict_suffix_sum(x):
+    return _tri_mm(x, lambda r, l_: r > l_)
 
 
 def _splat_geometry(F, rays, pix, width):
@@ -79,7 +81,6 @@ def _splat_geometry(F, rays, pix, width):
     sublanes, surfels on lanes (so the chunk axis is the 128-lane axis and
     the HBM chunk DMA slices stay lane-aligned).
     """
-    hi = jax.lax.Precision.HIGHEST
     p3, gu3, gv3, n3 = F[0:3], F[3:6], F[6:9], F[9:12]      # [3, C]
     opa = F[12:13]
     depth_c = F[13:14]
@@ -87,9 +88,11 @@ def _splat_geometry(F, rays, pix, width):
     cy = F[15:16]
 
     def dotr(a):  # rays [P, 3] x a [3, C] -> [P, C]
-        return jax.lax.dot_general(rays, a, (((1,), (0,)), ((), ())),
-                                   precision=hi,
-                                   preferred_element_type=jnp.float32)
+        # K=3 contraction as explicit [P,1]x[1,C] broadcast FMAs: an MXU
+        # dot_general would pad K 3->128 (x6 HIGHEST passes) and dominate
+        # the kernel; this is 5 exact-fp32 VPU flops per pair instead
+        return (rays[:, 0:1] * a[0:1, :] + rays[:, 1:2] * a[1:2, :]
+                + rays[:, 2:3] * a[2:3, :])
 
     A1, A2, A3 = dotr(gu3), dotr(gv3), dotr(n3)
     np_ = jnp.sum(n3 * p3, axis=0, keepdims=True)           # [1, C]
@@ -122,15 +125,19 @@ def _splat_geometry(F, rays, pix, width):
                 alpha=alpha, ok=ok, dx=dx, dy=dy)
 
 
-def _fwd_kernel(counts_ref, Fg_hbm, rays_ref, pix_ref,
-                out_ref, tbound_ref, fg_buf, dma_sem,
+def _fwd_kernel(counts_ref, fg_ref, rays_ref, pix_ref,
+                out_ref, tbound_ref,
                 *, chunk, width, n_chunks, with_median, with_dist):
     """1-D tile grid; dynamic in-kernel loop over this tile's chunks.
 
-    Fg stays in HBM and chunk slices are DMA'd on demand, so the cost per
-    tile is O(count/chunk) rather than O(K/chunk) grid steps, and the
-    transmittance early-exit truly stops the loop (sparse submaps and
-    saturated tiles pay only for work that exists).
+    The whole tile's [16, K] feature block arrives as ONE auto-pipelined
+    BlockSpec DMA (Pallas overlaps tile t+1's copy with tile t's compute);
+    the in-kernel loop then slices chunks out of VMEM.  Ablations showed
+    per-chunk manual HBM DMAs cost ~4.6 us/chunk-step in wait+descriptor
+    overhead — 75%% of the whole forward — while a full-K block is only
+    ~200 KB and its bandwidth is trivial.  The transmittance early-exit
+    still skips the COMPUTE of dead chunks (sparse submaps and saturated
+    tiles pay only VMEM traffic for work that exists).
     """
     t = pl.program_id(0)
     count = counts_ref[t]
@@ -139,104 +146,104 @@ def _fwd_kernel(counts_ref, Fg_hbm, rays_ref, pix_ref,
     pix = pix_ref[0]                        # [P, 2]
     p_tile = rays.shape[0]
 
-    def fetch(i, slot):
-        start = pl.multiple_of(i * chunk, chunk)
-        return pltpu.make_async_copy(
-            Fg_hbm.at[t, :, pl.ds(start, chunk)],
-            fg_buf.at[slot], dma_sem.at[slot])
-
-    @pl.when(n_act > 0)
-    def _():
-        fetch(0, 0).start()
-
     def cond(state):
         i = state[0]
+        if "noexit" in _ABLATE:
+            return i < n_act
         return (i < n_act) & (jnp.max(state[1]) > T_EPS)
 
     def body(state):
         (i, T_carry, d_sum, a_sum, n_sum, med, dist) = state
-        slot = jax.lax.rem(i, 2)
+        F = fg_ref[0, :, pl.ds(pl.multiple_of(i * chunk, chunk), chunk)]
+        if "notb" not in _ABLATE:
+            # chunk-start transmittance: lane-broadcast select into the
+            # [P, nc] output block (a dynamic sublane store would be
+            # illegal and a static predicated chain costs n_chunks
+            # branches per step)
+            tb = tbound_ref[0]
+            col = jax.lax.broadcasted_iota(jnp.int32, tb.shape, 1)
+            tbound_ref[0] = jnp.where(col == i, T_carry, tb)
 
-        @pl.when(i + 1 < n_act)
-        def _():
-            fetch(i + 1, 1 - slot).start()
-
-        fetch(i, slot).wait()
-        F = fg_buf[slot]
-        # dynamic-index stores must be lane/sublane aligned; n_chunks is
-        # small, so select the row with a static predicated chain instead
-        for j in range(n_chunks):
-            @pl.when(i == j)
-            def _(j=j):
-                tbound_ref[0, j, :] = T_carry
-
-        geo = _splat_geometry(F, rays, pix, width)
-        alpha, m = geo["alpha"], geo["m"]       # [P, C]
-        one_m = 1.0 - alpha
-        t_incl = _scan_prod(one_m, exclusive=False)
-        lanes = jax.lax.broadcasted_iota(jnp.int32, t_incl.shape, 1)
-        texc = jnp.where(lanes >= 1, pltpu.roll(t_incl, 1, axis=1), 1.0)
-        Ti = T_carry[:, None] * texc            # [P, C]
+        if "nogeo" in _ABLATE:
+            alpha = jnp.broadcast_to(F[12:13] * 1e-3, (p_tile, chunk))
+            m = jnp.broadcast_to(F[13:14], (p_tile, chunk))
+            geo = dict(n3=F[9:12], alpha=alpha, m=m)
+        else:
+            geo = _splat_geometry(F, rays, pix, width)
+            alpha, m = geo["alpha"], geo["m"]   # [P, C]
+        if "noscan" in _ABLATE:
+            logs = -alpha
+            texc = 1.0 - alpha
+        else:
+            logs = jnp.log1p(-alpha)
+            texc = jnp.exp(_excl_prefix_sum(logs))
+        Ti = T_carry * texc                     # [P, C]
         w = alpha * Ti
         wm = w * m
-        hi = jax.lax.Precision.HIGHEST
 
         if with_dist:
-            a_prev = a_sum[:, None] + _scan_rows(w, exclusive=True)
-            d_prev = d_sum[:, None] + _scan_rows(wm, exclusive=True)
-            dist = dist + jnp.sum(w * (m * a_prev - d_prev), axis=1)
+            a_prev = a_sum + _excl_prefix_sum(w)
+            d_prev = d_sum + _excl_prefix_sum(wm)
+            dist = dist + jnp.sum(w * (m * a_prev - d_prev), axis=1,
+                                  keepdims=True)
 
         if with_median:
             t_after = Ti * (1.0 - alpha)
             crossing = ((Ti > 0.5) & (t_after <= 0.5) &
                         (alpha > 0)).astype(jnp.float32)
-            first = crossing * (_scan_rows(crossing,
-                                           exclusive=False) == 1.0)
-            d_first = jnp.sum(first * m, axis=1)
-            any_c = jnp.sum(first, axis=1) > 0
+            first = crossing * (_incl_prefix_sum(crossing) == 1.0)
+            d_first = jnp.sum(first * m, axis=1, keepdims=True)
+            any_c = jnp.sum(first, axis=1, keepdims=True) > 0
             med = jnp.where((med == 0.0) & any_c, d_first, med)
 
-        d_sum = d_sum + jnp.sum(wm, axis=1)
-        a_sum = a_sum + jnp.sum(w, axis=1)
-        # n_sum [P, 3]: sum_c w[p, c] * n3[k, c]
-        n_sum = n_sum + jax.lax.dot_general(
-            w, geo["n3"], (((1,), (1,)), ((), ())), precision=hi,
-            preferred_element_type=jnp.float32)
-        # t_incl is non-increasing along lanes, so its min IS the full
-        # chunk product (single-lane slices don't lower on TPU)
-        T_carry = T_carry * jnp.min(t_incl, axis=1)
+        if "nosum" in _ABLATE:
+            d_sum = d_sum + wm[:, 0:1]
+            a_sum = a_sum + w[:, 0:1]
+            n_sum = n_sum + w[:, 0:3]
+            T_carry = T_carry * 0.99
+        else:
+            d_sum = d_sum + jnp.sum(wm, axis=1, keepdims=True)
+            a_sum = a_sum + jnp.sum(w, axis=1, keepdims=True)
+            # n_sum [P, 3]: sum_c w[p, c] * n3[k, c] — three lane
+            # reductions (an MXU dot would pad the size-3 out dim to 128)
+            n3 = geo["n3"]
+            n_sum = n_sum + jnp.concatenate(
+                [jnp.sum(w * n3[k:k + 1, :], axis=1, keepdims=True)
+                 for k in range(3)], axis=1)
+            # full chunk product = exp(sum of logs) — one row reduce
+            T_carry = T_carry * jnp.exp(jnp.sum(logs, axis=1,
+                                                keepdims=True))
         return (i + 1, T_carry, d_sum, a_sum, n_sum, med, dist)
 
-    zeros = jnp.zeros((p_tile,), jnp.float32)
-    init = (jnp.int32(0), jnp.ones((p_tile,), jnp.float32), zeros, zeros,
-            jnp.zeros((p_tile, 3), jnp.float32), zeros, zeros)
+    # zero-init: chunks skipped by the early exit must read as dead
+    # (T_start = 0) in the backward's liveness scan; Pallas outputs are
+    # not zero-initialized by default
+    tbound_ref[0] = jnp.zeros((p_tile, n_chunks), jnp.float32)
+    zeros = jnp.zeros((p_tile, 1), jnp.float32)
+    init = (jnp.int32(0), jnp.ones((p_tile, 1), jnp.float32), zeros,
+            zeros, jnp.zeros((p_tile, 3), jnp.float32), zeros, zeros)
     (i_end, T_carry, d_sum, a_sum, n_sum, med, dist) = \
         jax.lax.while_loop(cond, body, init)
 
-    # early exit may leave the prefetch for chunk i_end in flight
-    @pl.when((n_act > 0) & (i_end < n_act))
-    def _():
-        fetch(i_end, jax.lax.rem(i_end, 2)).wait()
-
-    out_ref[0, :, 0] = d_sum
-    out_ref[0, :, 1] = a_sum
+    out_ref[0, :, 0:1] = d_sum
+    out_ref[0, :, 1:2] = a_sum
     out_ref[0, :, 2:5] = n_sum
-    out_ref[0, :, 5] = med
-    out_ref[0, :, 6] = dist
-    out_ref[0, :, 7] = T_carry
+    out_ref[0, :, 5:6] = med
+    out_ref[0, :, 6:7] = dist
+    out_ref[0, :, 7:8] = T_carry
 
 
-def _bwd_kernel(counts_ref, Fg_hbm, rays_ref, pix_ref, tbound_ref,
-                outs_ref, g_ref, dF_ref, fg_buf, dma_sem,
+def _bwd_kernel(counts_ref, fg_ref, rays_ref, pix_ref, tbound_ref,
+                outs_ref, g_ref, dF_ref,
                 *, chunk, width, n_chunks, with_median, with_dist):
-    """Reverse dynamic chunk loop per tile with O(P) suffix carries."""
+    """Reverse dynamic chunk loop per tile with O(P) suffix carries.
+    Whole-tile [16, K] feature block auto-pipelined (see _fwd_kernel)."""
     t = pl.program_id(0)
     count = counts_ref[t]
     n_act = pl.cdiv(count, chunk)
     rays = rays_ref[0]                      # [P, 3]
     pix = pix_ref[0]                        # [P, 2]
     p_tile = rays.shape[0]
-    hi = jax.lax.Precision.HIGHEST
     dF_ref[...] = jnp.zeros_like(dF_ref)
 
     gD = g_ref[0, :, 0:1]                   # [P, 1]
@@ -246,54 +253,36 @@ def _bwd_kernel(counts_ref, Fg_hbm, rays_ref, pix_ref, tbound_ref,
     A_total = outs_ref[0, :, 1:2]
     D_total = outs_ref[0, :, 0:1]
 
-    def fetch(i, slot):
-        start = pl.multiple_of(i * chunk, chunk)
-        return pltpu.make_async_copy(
-            Fg_hbm.at[t, :, pl.ds(start, chunk)],
-            fg_buf.at[slot], dma_sem.at[slot])
-
     # transmittance is monotone over chunks, so the chunks the forward
     # skipped (T_start <= eps) form a SUFFIX in forward order: reverse
     # processing can start at the last live chunk and drop the per-chunk
     # liveness branch entirely (enabling DMA double buffering)
-    n_live = jnp.int32(0)
-    for j in range(n_chunks):
-        is_live = (j < n_act) & (jnp.max(tbound_ref[0, j, :]) > T_EPS)
-        n_live = n_live + is_live.astype(jnp.int32)
-
-    @pl.when(n_live > 0)
-    def _():
-        fetch(n_live - 1, jax.lax.rem(n_live - 1, 2)).start()
+    tb = tbound_ref[0]                       # [P, nc] chunk-start T
+    col_max = jnp.max(tb, axis=0, keepdims=True)           # [1, nc]
+    col = jax.lax.broadcasted_iota(jnp.int32, col_max.shape, 1)
+    live = (col < n_act) & (col_max > T_EPS)
+    n_live = jnp.sum(live.astype(jnp.int32))
 
     def body(ci, carry):
         S_phi_carry, W_carry, MD_carry = carry
         i = n_live - 1 - ci
-        T_start = jnp.zeros((p_tile,), jnp.float32)
-        for j in range(n_chunks):
-            T_start = jnp.where(i == j, tbound_ref[0, j, :], T_start)
+        colp = jax.lax.broadcasted_iota(jnp.int32, tb.shape, 1)
+        T_start = jnp.sum(jnp.where(colp == i, tb, 0.0), axis=1,
+                          keepdims=True)      # [P, 1]
 
-        slot = jax.lax.rem(i, 2)
-
-        @pl.when(i - 1 >= 0)
-        def _():
-            fetch(i - 1, 1 - slot).start()
-
-        fetch(i, slot).wait()
-        F = fg_buf[slot]
+        F = fg_ref[0, :, pl.ds(pl.multiple_of(i * chunk, chunk), chunk)]
         geo = _splat_geometry(F, rays, pix, width)
         alpha, m = geo["alpha"], geo["m"]       # [P, C]
-        Ti = T_start[:, None] * _scan_prod(1.0 - alpha, exclusive=True)
+        Ti = T_start * jnp.exp(_excl_prefix_sum(jnp.log1p(-alpha)))
         w = alpha * Ti
         wm = w * m
 
-        def rsuf(x):
-            tot = jnp.sum(x, axis=1, keepdims=True)
-            return tot - _scan_rows(x, exclusive=False)
+        rsuf = _strict_suffix_sum
 
-        # nphi [P, C]: sum_k gN[p, k] * n3[k, c]
-        nphi = jax.lax.dot_general(
-            gN, geo["n3"], (((1,), (0,)), ((), ())), precision=hi,
-            preferred_element_type=jnp.float32)
+        # nphi [P, C]: sum_k gN[p, k] * n3[k, c] (broadcast FMAs, not MXU)
+        n3 = geo["n3"]
+        nphi = (gN[:, 0:1] * n3[0:1, :] + gN[:, 1:2] * n3[1:2, :]
+                + gN[:, 2:3] * n3[2:3, :])
         phi = gD * m + gA + nphi
         if with_dist:
             W_suf = rsuf(w) + W_carry
@@ -335,9 +324,10 @@ def _bwd_kernel(counts_ref, Fg_hbm, rays_ref, pix_ref, tbound_ref,
             return jnp.sum(x, axis=0, keepdims=True)
 
         def dot_rays(x):  # sum_p rays[p, k] x[p, c] -> [3, C]
-            return jax.lax.dot_general(
-                rays, x, (((0,), (0,)), ((), ())), precision=hi,
-                preferred_element_type=jnp.float32)
+            # K=3 output dim: three sublane reductions beat a padded MXU dot
+            return jnp.concatenate(
+                [jnp.sum(rays[:, k:k + 1] * x, axis=0, keepdims=True)
+                 for k in range(3)], axis=0)
 
         s_g_np = sum_px(g_np)
         s_g_u = sum_px(g_u)
@@ -345,10 +335,10 @@ def _bwd_kernel(counts_ref, Fg_hbm, rays_ref, pix_ref, tbound_ref,
         d_gu = dot_rays(g_A1) - s_g_u * geo["p3"]
         d_gv = dot_rays(g_A2) - s_g_v * geo["p3"]
         # direct normal payload: sum_p gN[p,k] w[p,c] -> [3, C]
-        d_n = (dot_rays(g_A3) + s_g_np * geo["p3"]
-               + jax.lax.dot_general(
-                   gN, w, (((0,), (0,)), ((), ())), precision=hi,
-                   preferred_element_type=jnp.float32))
+        gNw = jnp.concatenate(
+            [jnp.sum(gN[:, k:k + 1] * w, axis=0, keepdims=True)
+             for k in range(3)], axis=0)
+        d_n = dot_rays(g_A3) + s_g_np * geo["p3"] + gNw
         d_p = (s_g_np * geo["n3"] - s_g_u * geo["gu3"]
                - s_g_v * geo["gv3"])
         dF = jnp.concatenate(
@@ -388,7 +378,8 @@ def _forward_tiled(F, lists, counts, rays_t, pix_t, *, tile_h, tile_w,
             num_scalar_prefetch=1,
             grid=(n_tiles,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((1, 16, K), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, p_tile, 3), lambda t, *_: (t, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, p_tile, 2), lambda t, *_: (t, 0, 0),
@@ -397,17 +388,13 @@ def _forward_tiled(F, lists, counts, rays_t, pix_t, *, tile_h, tile_w,
             out_specs=[
                 pl.BlockSpec((1, p_tile, 8), lambda t, *_: (t, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, n_chunks, p_tile), lambda t, *_: (t, 0, 0),
+                pl.BlockSpec((1, p_tile, n_chunks), lambda t, *_: (t, 0, 0),
                              memory_space=pltpu.VMEM),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((2, 16, chunk), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, p_tile, 8), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, n_chunks, p_tile),
+            jax.ShapeDtypeStruct((n_tiles, p_tile, n_chunks),
                                  jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -434,12 +421,13 @@ def _backward_tiled(F, lists, counts, rays_t, pix_t, tbound, outs, g_tiled,
             num_scalar_prefetch=1,
             grid=(n_tiles,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((1, 16, K), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, p_tile, 3), lambda t, *_: (t, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, p_tile, 2), lambda t, *_: (t, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, n_chunks, p_tile), lambda t, *_: (t, 0, 0),
+                pl.BlockSpec((1, p_tile, n_chunks), lambda t, *_: (t, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, p_tile, 8), lambda t, *_: (t, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -448,10 +436,6 @@ def _backward_tiled(F, lists, counts, rays_t, pix_t, tbound, outs, g_tiled,
             ],
             out_specs=pl.BlockSpec((1, 16, K), lambda t, *_: (t, 0, 0),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=[
-                pltpu.VMEM((2, 16, chunk), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
         ),
         out_shape=jax.ShapeDtypeStruct((n_tiles, 16, K), jnp.float32),
         compiler_params=pltpu.CompilerParams(
