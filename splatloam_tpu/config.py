@@ -154,6 +154,11 @@ class MappingConfig:
     opt_scaling_max_penalty: float = 0.2
     lmodel_threshold_ngaussians: Optional[int] = 150000
     lmodel_threshold_nkeyframes: Optional[int] = None
+    # TPU extension (no reference counterpart): sample this many
+    # keyframes per Adam iteration and average their losses — all views
+    # render through ONE kernel launch, amortizing per-iteration
+    # overhead.  1 = reference semantics (one keyframe per iteration).
+    views_per_iteration: Optional[int] = 1
 
 
 @dataclass

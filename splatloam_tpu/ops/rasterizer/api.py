@@ -97,6 +97,12 @@ def render(xyz, scaling, rotation, opacity, T_cw, K,
     """
     chans = rasterize(xyz, scaling, rotation, opacity, T_cw, K, params,
                       tiles=tiles)
+    return _decode(chans, T_cw, K, depth_ratio)
+
+
+def _decode(chans, T_cw, K, depth_ratio):
+    """Raw channels -> reference render package
+    (ref gaussian_renderer/__init__.py:51-92)."""
     alpha = chans["alpha"]
     mask = alpha > 0.0
     safe_alpha = jnp.where(mask, alpha, 1.0)
@@ -125,3 +131,37 @@ def render(xyz, scaling, rotation, opacity, T_cw, K,
         "radii": chans["radii"],
         "visibility_filter": chans["radii"] > 0,
     }
+
+
+def render_batch(xyz, scaling, rotation, opacity, T_cw, K,
+                 params: RenderParams, depth_ratio: float = 0.0,
+                 tiles=None):
+    """Multi-view render over a SHARED surfel set: T_cw [B,4,4], K
+    [B,3,3] -> render package with a leading [B] axis on every entry.
+
+    On the Pallas backend all B views flatten into ONE kernel grid
+    (launch/pipeline overhead amortized across views — the mapper's
+    multi-view optimization mode); the jnp golden path vmaps.
+    """
+    backend = _resolve_backend(params.backend)
+    if backend == "pallas":
+        from .pallas_raster import rasterize_pallas_batched
+        chans = rasterize_pallas_batched(xyz, scaling, rotation, opacity,
+                                         T_cw, K, params, tiles=tiles)
+    else:
+        chans = jax.vmap(
+            lambda T, k: rasterize_jnp(xyz, scaling, rotation, opacity,
+                                       T, k, params.height, params.width,
+                                       params.chunk))(T_cw, K)
+    return jax.vmap(_decode, in_axes=(0, 0, 0, None))(chans, T_cw, K,
+                                                      depth_ratio)
+
+
+def prepare_tiles_batch(xyz, scaling, rotation, opacity, T_cw, K,
+                        params: RenderParams, margin_px: float = 0.0):
+    """Frozen per-view TileAssignments stacked on [B] (None on jnp)."""
+    if _resolve_backend(params.backend) != "pallas":
+        return None
+    from .pallas_raster import prepare_tiles_batched as _prep
+    return _prep(xyz, scaling, rotation, opacity, T_cw, K, params,
+                 margin_px=margin_px)

@@ -57,6 +57,8 @@ def _tri_mm(x, cmp):
     r = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
     l_ = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
     m = cmp(r, l_).astype(jnp.float32)
+    # HIGHEST: Mosaic rejects precision=HIGH inside kernels; the 0/1
+    # matrix keeps products exact, accumulation is fp32.
     return jax.lax.dot_general(x, m, (((1,), (0,)), ((), ())),
                                precision=jax.lax.Precision.HIGHEST,
                                preferred_element_type=jnp.float32)
@@ -365,10 +367,19 @@ def _bwd_kernel(counts_ref, fg_ref, rays_ref, pix_ref, tbound_ref,
 
 def _forward_tiled(F, lists, counts, rays_t, pix_t, *, tile_h, tile_w,
                    chunk, width, with_median, with_dist):
-    n_tiles, K = lists.shape
+    """Batched over views: F [B, N+1, 16], lists [B, T, K], rays/pix
+    [B, T, P, .].  All views' tiles flatten into ONE [B*T] kernel grid —
+    the kernel is per-tile, so multi-view rendering amortizes launch and
+    pipeline overhead across views (PERF.md round-2 backlog)."""
+    b, n_tiles, K = lists.shape
     p_tile = tile_h * tile_w
     n_chunks = K // chunk
-    Fg = jnp.swapaxes(F[lists], 1, 2)           # [T, 16, K] feature-major
+    Fg = jax.vmap(lambda f, l: jnp.swapaxes(f[l], 1, 2))(F, lists)
+    Fg = Fg.reshape(b * n_tiles, 16, K)         # feature-major
+    counts = counts.reshape(b * n_tiles)
+    rays_t = rays_t.reshape(b * n_tiles, p_tile, 3)
+    pix_t = pix_t.reshape(b * n_tiles, p_tile, 2)
+    n_tiles = b * n_tiles
     kernel = functools.partial(_fwd_kernel, chunk=chunk, width=width,
                                n_chunks=n_chunks, with_median=with_median,
                                with_dist=with_dist)
@@ -402,16 +413,26 @@ def _forward_tiled(F, lists, counts, rays_t, pix_t, *, tile_h, tile_w,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(counts, Fg, rays_t, pix_t)
-    return out, tbound
+    return (out.reshape(b, n_tiles // b, p_tile, 8),
+            tbound.reshape(b, n_tiles // b, p_tile, n_chunks))
 
 
 def _backward_tiled(F, lists, counts, rays_t, pix_t, tbound, outs, g_tiled,
                     *, tile_h, tile_w, chunk, width, with_median,
                     with_dist):
-    n_tiles, K = lists.shape
+    """Batched like _forward_tiled; returns dF [B, N+1, 16]."""
+    b, n_tiles, K = lists.shape
     p_tile = tile_h * tile_w
     n_chunks = K // chunk
-    Fg = jnp.swapaxes(F[lists], 1, 2)           # [T, 16, K]
+    Fg = jax.vmap(lambda f, l: jnp.swapaxes(f[l], 1, 2))(F, lists)
+    Fg = Fg.reshape(b * n_tiles, 16, K)
+    counts = counts.reshape(b * n_tiles)
+    rays_t = rays_t.reshape(b * n_tiles, p_tile, 3)
+    pix_t = pix_t.reshape(b * n_tiles, p_tile, 2)
+    tbound = tbound.reshape(b * n_tiles, p_tile, n_chunks)
+    outs = outs.reshape(b * n_tiles, p_tile, 8)
+    g_tiled = g_tiled.reshape(b * n_tiles, p_tile, 8)
+    n_tiles = b * n_tiles
     kernel = functools.partial(_bwd_kernel, chunk=chunk, width=width,
                                n_chunks=n_chunks, with_median=with_median,
                                with_dist=with_dist)
@@ -443,12 +464,17 @@ def _backward_tiled(F, lists, counts, rays_t, pix_t, tbound, outs, g_tiled,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(counts, Fg, rays_t, pix_t, tbound, outs, g_tiled)
-    # scatter per-tile-entry grads back to surfels (atomics-free)
-    n_plus1 = F.shape[0]
-    dF = jnp.zeros((n_plus1, 16), jnp.float32)
-    dFg_rows = jnp.swapaxes(dFg, 1, 2).reshape(-1, 16)
-    dF = dF.at[lists.reshape(-1)].add(dFg_rows)
-    return dF
+    # scatter per-tile-entry grads back to surfels (atomics-free),
+    # per view
+    n_plus1 = F.shape[1]
+    dFg = dFg.reshape(b, n_tiles // b, 16, K)
+
+    def scat(dfg, l):
+        rows = jnp.swapaxes(dfg, 1, 2).reshape(-1, 16)
+        return jnp.zeros((n_plus1, 16),
+                         jnp.float32).at[l.reshape(-1)].add(rows)
+
+    return jax.vmap(scat)(dFg, lists)
 
 
 # ---------------------------------------------------------------------------
@@ -527,16 +553,68 @@ def prepare_tiles(xyz, scaling, rotation, opacity, T_cw, K, params,
                           rays_t=rays_all, pix_t=pix_all)
 
 
-def rasterize_pallas(xyz, scaling, rotation, opacity, T_cw, K, params,
-                     tiles: TileAssignment | None = None):
-    """Channel dict matching jnp_ref.rasterize_jnp, via the Pallas path."""
+def prepare_tiles_batched(xyz, scaling, rotation, opacity, T_cw, K,
+                          params, margin_px: float = 0.0) -> TileAssignment:
+    """Per-view tile assignments stacked on a leading [B] axis
+    (surfel params shared, poses/intrinsics per view)."""
+    return jax.vmap(
+        lambda T, k: prepare_tiles(xyz, scaling, rotation, opacity, T, k,
+                                   params, margin_px=margin_px))(T_cw, K)
+
+
+def _check_params(params):
     height, width = params.height, params.width
     tile_h, tile_w = params.tile_h, params.tile_w
     assert height % tile_h == 0 and width % tile_w == 0, \
         f"image {height}x{width} not divisible by tile {tile_h}x{tile_w}"
-    cap = params.tile_list_capacity
-    chunk = params.chunk
-    assert cap % chunk == 0, "tile_list_capacity must be a chunk multiple"
+    assert params.tile_list_capacity % params.chunk == 0, \
+        "tile_list_capacity must be a chunk multiple"
+
+
+def rasterize_pallas_batched(xyz, scaling, rotation, opacity, T_cw, K,
+                             params, tiles: TileAssignment | None = None):
+    """Multi-view rasterization: T_cw [B,4,4] and K [B,3,3] over a
+    SHARED surfel set.  All views flatten into one kernel grid; channel
+    dict gains a leading [B] axis.  Gradients w.r.t. the shared params
+    sum over views through the vmapped packing."""
+    _check_params(params)
+    height, width = params.height, params.width
+    tile_h, tile_w = params.tile_h, params.tile_w
+
+    pack = jax.vmap(common.pack_surfels,
+                    in_axes=(None, None, None, None, 0, 0))
+    packed = pack(xyz, scaling, rotation, opacity, T_cw, K)
+    if tiles is None:
+        tiles = prepare_tiles_batched(xyz, scaling, rotation, opacity,
+                                      T_cw, K, params)
+    lists, counts, rays_t, pix_t = tiles
+
+    F = jax.vmap(binning.pack_features)(packed)     # [B, N+1, 16]
+    static = _StaticArgs(tile_h=tile_h, tile_w=tile_w, chunk=params.chunk,
+                         width=width, with_median=params.with_median,
+                         with_dist=params.with_dist)
+    out = _raster_core(F, lists, counts, rays_t, pix_t, static)
+
+    chans = jax.vmap(
+        lambda o: binning.untile_px(o, height, width, tile_h, tile_w))(out)
+    return {
+        "depth_sum": chans[:, 0],
+        "alpha": chans[:, 1],
+        "normal_sum": jnp.moveaxis(chans[:, 2:5], 1, -1),
+        "median": chans[:, 5],
+        "dist": chans[:, 6],
+        "final_T": chans[:, 7],
+        "radii": packed.radius_px,                  # [B, N]
+    }
+
+
+def rasterize_pallas(xyz, scaling, rotation, opacity, T_cw, K, params,
+                     tiles: TileAssignment | None = None):
+    """Channel dict matching jnp_ref.rasterize_jnp, via the Pallas path
+    (single view: the B=1 case of the batched core)."""
+    _check_params(params)
+    height, width = params.height, params.width
+    tile_h, tile_w = params.tile_h, params.tile_w
 
     packed = common.pack_surfels(xyz, scaling, rotation, opacity, T_cw, K)
     if tiles is None:
@@ -545,10 +623,11 @@ def rasterize_pallas(xyz, scaling, rotation, opacity, T_cw, K, params,
     lists, counts, rays_t, pix_t = tiles
 
     F = binning.pack_features(packed)
-    static = _StaticArgs(tile_h=tile_h, tile_w=tile_w, chunk=chunk,
+    static = _StaticArgs(tile_h=tile_h, tile_w=tile_w, chunk=params.chunk,
                          width=width, with_median=params.with_median,
                          with_dist=params.with_dist)
-    out = _raster_core(F, lists, counts, rays_t, pix_t, static)
+    out = _raster_core(F[None], lists[None], counts[None], rays_t[None],
+                       pix_t[None], static)[0]
 
     chans = binning.untile_px(out, height, width, tile_h, tile_w)
     return {

@@ -69,7 +69,8 @@ def sample_geometric_probs(n: int, last_kf_prob: float | None,
 
 def run_block_loop(surfels, adam, log_probs, key, *, num_iters: int,
                    rebin: int, early: bool, patience_blocks: int,
-                   es_threshold: float, make_tiles, one_iter):
+                   es_threshold: float, make_tiles, one_iter,
+                   views: int = 1):
     """Shared optimize scaffold: while_loop over rebin-blocks with EMA
     early stopping (used by both the single-device jit program and the
     shard_map'd multi-device program — keeping their iteration schedules,
@@ -83,7 +84,8 @@ def run_block_loop(surfels, adam, log_probs, key, *, num_iters: int,
 
     def block_body(state):
         surf, st, ema, best, stalled, b = state
-        kf_idx = jax.random.categorical(keys[b], log_probs)
+        kf_idx = jax.random.categorical(
+            keys[b], log_probs, shape=(views,) if views > 1 else None)
         tiles = make_tiles(surf, kf_idx)
 
         def inner(_, c2):
@@ -297,11 +299,47 @@ class MapperPrograms:
 
         return geom_l1 + alpha_loss + normal_loss + reg_scales
 
+    def _loss_multi(self, params: S.SurfelParams, active,
+                    kf: KeyframeBatch, kf_idx, tiles=None):
+        """views_per_iteration > 1: average the per-view losses of B
+        sampled keyframes, rendered through ONE batched kernel launch
+        (amortizes per-iteration overhead; B=1 == reference semantics)."""
+        from ..ops.rasterizer.api import render_batch
+        mc = self.cfg.mapping
+        cam_K = kf.K[kf_idx]               # [B, 3, 3]
+        cam_T = kf.T_cw[kf_idx]
+        gt_depth = kf.depth[kf_idx]        # [B, H, W]
+        valid = kf.valid[kf_idx]
+
+        scaling = jnp.exp(params.log_scale)
+        opacity = jax.nn.sigmoid(params.logit_opacity) * active
+        pkg = render_batch(params.xyz, scaling, params.quat, opacity,
+                           cam_T, cam_K, self.params,
+                           self.cfg.opt.depth_ratio, tiles=tiles)
+
+        validf = valid.astype(jnp.float32)
+        n_valid = jnp.maximum(jnp.sum(validf, axis=(1, 2)), 1.0)  # [B]
+        geom_l1 = jnp.mean(jnp.abs(validf * (pkg["surf_depth"]
+                                             - gt_depth)), axis=(1, 2))
+        ndot = jnp.sum(pkg["rend_normal"] * pkg["surf_normal"], axis=-1)
+        normal_loss = (jnp.sum((1.0 - ndot) * validf, axis=(1, 2))
+                       / n_valid) * mc.opt_lambda_normal
+        a = jnp.clip(pkg["rend_alpha"], 1e-7, 1.0 - 1e-7)
+        alpha_loss = (jnp.sum(-jnp.log(a) * validf, axis=(1, 2))
+                      / n_valid) * mc.opt_lambda_alpha
+        smax = jnp.max(scaling, axis=-1)
+        over = jnp.maximum(smax - mc.opt_scaling_max, 0.0) * active
+        reg_scales = mc.opt_scaling_max_penalty * jnp.sum(over)
+
+        return jnp.mean(geom_l1 + alpha_loss + normal_loss) + reg_scales
+
     def _optimize_impl(self, surfels: S.Surfels, adam: S.AdamState,
                        kf: KeyframeBatch, key):
-        from ..ops.rasterizer.api import prepare_tiles
-        grad_fn = jax.value_and_grad(self._loss)
+        from ..ops.rasterizer.api import prepare_tiles, prepare_tiles_batch
         mc = self.cfg.mapping
+        views = max(1, int(mc.views_per_iteration or 1))
+        grad_fn = jax.value_and_grad(
+            self._loss if views == 1 else self._loss_multi)
         # amortized rebinning: a keyframe view + its tile lists are held
         # fixed for rebin_every consecutive Adam steps (exact when 1; the
         # binning radius carries a pixel margin to absorb parameter drift)
@@ -311,11 +349,12 @@ class MapperPrograms:
             scaling = jnp.exp(surf.params.log_scale)
             opacity = jax.nn.sigmoid(surf.params.logit_opacity) * \
                 surf.active
-            return prepare_tiles(surf.params.xyz, scaling,
-                                 surf.params.quat, opacity,
-                                 kf.T_cw[kf_idx], kf.K[kf_idx],
-                                 self.params,
-                                 margin_px=self.cfg.compute.bin_margin_px)
+            prep = prepare_tiles if views == 1 else prepare_tiles_batch
+            return prep(surf.params.xyz, scaling,
+                        surf.params.quat, opacity,
+                        kf.T_cw[kf_idx], kf.K[kf_idx],
+                        self.params,
+                        margin_px=self.cfg.compute.bin_margin_px)
 
         def one_iter(surf, st, kf_idx, tiles):
             loss, grads = grad_fn(surf.params, surf.active, kf, kf_idx,
@@ -330,7 +369,7 @@ class MapperPrograms:
             patience_blocks=max(1, int((mc.early_stop_patience or 100)
                                        // rebin)),
             es_threshold=float(mc.early_stop_threshold or 0.01),
-            make_tiles=make_tiles, one_iter=one_iter)
+            make_tiles=make_tiles, one_iter=one_iter, views=views)
 
     # ------------------------------------------------------------------
     # prune (ref slam/mapper.py:216-233)

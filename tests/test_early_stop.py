@@ -39,6 +39,25 @@ def test_early_stop_runs_fewer_iterations(tmp_path, rng):
     assert np.isfinite(float(ema))
 
 
+def test_multiview_optimize_converges(tmp_path, rng):
+    """views_per_iteration=3: batched multi-view optimization must fit
+    the keyframe at least as well as the single-view loop for the same
+    iteration count (each iteration sees 3 sampled views)."""
+    progs1, lm1, kf1 = _setup(tmp_path / "a", rng, num_iterations=40,
+                              early_stop_enable=False)
+    s1, _, ema1, _ = progs1._optimize(lm1.surfels, lm1.adam, kf1,
+                                      jax.random.PRNGKey(2))
+    rng2 = np.random.default_rng(0)
+    progs3, lm3, kf3 = _setup(tmp_path / "b", rng2, num_iterations=40,
+                              early_stop_enable=False,
+                              views_per_iteration=3)
+    s3, _, ema3, _ = progs3._optimize(lm3.surfels, lm3.adam, kf3,
+                                      jax.random.PRNGKey(2))
+    assert np.isfinite(float(ema3))
+    assert float(ema3) < 1.5 * float(ema1) + 0.05, (float(ema3),
+                                                    float(ema1))
+
+
 def test_no_early_stop_runs_all(tmp_path, rng):
     progs, lm, kf = _setup(tmp_path, rng, num_iterations=40,
                            early_stop_enable=False)

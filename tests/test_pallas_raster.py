@@ -171,6 +171,52 @@ def test_gradient_parity_early_exit(rng):
                                    err_msg=name)
 
 
+def test_batched_multiview_matches_per_view(rng):
+    """rasterize_pallas_batched over B=3 poses == three single-view
+    renders (forward and gradients, which must SUM over views)."""
+    from splatloam_tpu.ops.rasterizer.pallas_raster import \
+        rasterize_pallas_batched
+    xyz, scales, quat, opac, _, K = _scene(rng, n=200)
+    angs = [0.0, 0.25, -0.4]
+    T_b = jnp.stack([jnp.asarray(np.array(
+        [[np.cos(a), -np.sin(a), 0, 0.1 * i],
+         [np.sin(a), np.cos(a), 0, -0.05 * i],
+         [0, 0, 1, 0.02 * i], [0, 0, 0, 1]], np.float32))
+        for i, a in enumerate(angs)])
+    K_b = jnp.stack([K] * 3)
+
+    outs_b = rasterize_pallas_batched(xyz, scales, quat, opac, T_b, K_b,
+                                      PARAMS)
+    for i in range(3):
+        out_i = rasterize_pallas(xyz, scales, quat, opac, T_b[i], K,
+                                 PARAMS)
+        for key, tol in [("alpha", 2e-5), ("depth_sum", 2e-4),
+                         ("normal_sum", 2e-4)]:
+            np.testing.assert_allclose(np.asarray(outs_b[key][i]),
+                                       np.asarray(out_i[key]), atol=tol,
+                                       err_msg=f"view {i} {key}")
+
+    def loss_b(xyz, s, q, o):
+        c = rasterize_pallas_batched(xyz, s, q, o, T_b, K_b, PARAMS)
+        return jnp.sum(c["depth_sum"]) * 0.1 + jnp.sum(c["alpha"])
+
+    def loss_sum(xyz, s, q, o):
+        tot = 0.0
+        for i in range(3):
+            c = rasterize_pallas(xyz, s, q, o, T_b[i], K, PARAMS)
+            tot = tot + jnp.sum(c["depth_sum"]) * 0.1 + jnp.sum(c["alpha"])
+        return tot
+
+    g_b = jax.grad(loss_b, argnums=(0, 1, 2, 3))(xyz, scales, quat, opac)
+    g_s = jax.grad(loss_sum, argnums=(0, 1, 2, 3))(xyz, scales, quat,
+                                                   opac)
+    for name, gb, gs in zip(["xyz", "scales", "quat", "opacity"], g_b,
+                            g_s):
+        scale = np.abs(np.asarray(gs)).max() + 1e-6
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(gs),
+                                   atol=2e-4 * scale, err_msg=name)
+
+
 def test_tile_list_overflow_drops_far(rng):
     # capacity smaller than surfel count: nearest surfels must be kept
     params = RenderParams(height=H, width=W, backend="pallas", chunk=128,

@@ -168,6 +168,42 @@ def test_sharded_full_update_matches_single_device(rng, tmp_path):
                                   np.asarray(s3_ref.active))
 
 
+def test_ring_compositing_matches_single_device(rng):
+    """Beyond-HBM prototype: surfel pool depth-partitioned over 8 "model"
+    shards, per-shard rendering + ring (T, S) carry fold over ppermute
+    must equal the monolithic single-device render (SURVEY §5 ring
+    analog; VERDICT r1 next-step #10)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from splatloam_tpu.parallel.ring import (depth_partition_shards,
+                                             ring_render)
+    surf, adam, K, T_cw, depth, valid = _setup(rng)
+    mesh = make_mesh(data=1, model=8)
+    params = RenderParams(height=H, width=W, backend="jnp")
+
+    perm = depth_partition_shards(surf, T_cw, 8)
+    surf_p = S.Surfels(
+        params=S.SurfelParams(*(a[perm] for a in surf.params)),
+        active=surf.active[perm])
+    shard = NamedSharding(mesh, P("model"))
+    params_sh = S.SurfelParams(*(jax.device_put(a, shard)
+                                 for a in surf_p.params))
+    active_sh = jax.device_put(surf_p.active, shard)
+
+    out = ring_render(mesh, params)(params_sh, active_sh, T_cw, K)
+
+    from splatloam_tpu.ops.rasterizer.jnp_ref import rasterize_jnp
+    ref = rasterize_jnp(surf.params.xyz, surf.scaling, surf.rotation,
+                        surf.opacity, T_cw, K, H, W)
+    np.testing.assert_allclose(np.asarray(out["alpha"]),
+                               np.asarray(ref["alpha"]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out["depth_sum"]),
+                               np.asarray(ref["depth_sum"]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["normal_sum"]),
+                               np.asarray(ref["normal_sum"]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["T"]),
+                               np.asarray(ref["final_T"]), atol=2e-5)
+
+
 @pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 4)])
 def test_sharded_step_matches_single_device(rng, mesh_shape):
     assert len(jax.devices()) == 8, "conftest must force 8 cpu devices"

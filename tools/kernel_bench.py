@@ -18,6 +18,41 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def run_multiview(opts, params, args):
+    """Batched B-view fwd+bwd throughput (shared surfels, B poses)."""
+    from splatloam_tpu.ops.rasterizer.api import (prepare_tiles_batch,
+                                                  render_batch)
+    B = opts.views
+    H, W = opts.h, opts.w
+    xyz, scales, quat, opac, _, K = args
+    angs = np.linspace(0, 0.3, B)
+    T_b = jnp.stack([jnp.asarray(np.array(
+        [[np.cos(a), -np.sin(a), 0, 0.2 * i],
+         [np.sin(a), np.cos(a), 0, 0], [0, 0, 1, 0], [0, 0, 0, 1]],
+        np.float32)) for i, a in enumerate(angs)])
+    K_b = jnp.stack([K] * B)
+    tiles = prepare_tiles_batch(xyz, scales, quat, opac, T_b, K_b,
+                                params, margin_px=4.0)
+    jax.block_until_ready(tiles.lists)
+
+    def loss(xyz, s, q, o):
+        pkg = render_batch(xyz, s, q, o, T_b, K_b, params, tiles=tiles)
+        return (jnp.mean(jnp.abs(pkg["surf_depth"] - 10.0))
+                + 0.1 * jnp.mean(pkg["rend_alpha"]))
+
+    grad = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))
+    g = grad(xyz, scales, quat, opac)
+    jax.block_until_ready(g)
+    t0 = time.perf_counter()
+    for _ in range(opts.iters):
+        g = grad(xyz, scales, quat, opac)
+    jax.block_until_ready(g)
+    dt = (time.perf_counter() - t0) / opts.iters
+    print(json.dumps({"op": f"fwd+bwd x{B}views", "ms": round(dt * 1e3, 3),
+                      "rays_per_s_fwd_bwd_M":
+                          round(B * H * W / dt / 1e6, 3)}))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=100_000)
@@ -30,6 +65,9 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--median", action="store_true")
     ap.add_argument("--dist", action="store_true")
+    ap.add_argument("--views", type=int, default=1,
+                    help="batched multi-view rendering (B poses, "
+                         "shared surfels, one kernel grid)")
     opts = ap.parse_args()
 
     from splatloam_tpu.cli import _enable_compilation_cache
@@ -47,6 +85,9 @@ def main():
                           with_median=opts.median, with_dist=opts.dist)
     rng = np.random.default_rng(0)
     args = bench.make_scene(rng, opts.n, H, W)
+
+    if opts.views > 1:
+        return run_multiview(opts, params, args)
 
     tiles = prepare_tiles(*args, params, margin_px=4.0)
     jax.block_until_ready(tiles.lists)
