@@ -365,6 +365,22 @@ def _bwd_kernel(counts_ref, fg_ref, rays_ref, pix_ref, tbound_ref,
     jax.lax.fori_loop(0, n_live, body, (zeros_p1, zeros_p1, zeros_p1))
 
 
+def _flat_view_ids(lists, n_plus1):
+    """[B, T, K] per-view ids -> flat ids into a [B*(N+1)] pool."""
+    b = lists.shape[0]
+    offs = (jnp.arange(b, dtype=jnp.int32) * n_plus1)[:, None, None]
+    return (lists + offs).reshape(-1)
+
+
+def _gather_features(F, lists):
+    """F [B, N+1, 16], lists [B, T, K] -> Fg [B*T, 16, K] via ONE flat
+    gather (vmapped gathers lower poorly on TPU)."""
+    b, n_plus1, _ = F.shape
+    flat = F.reshape(b * n_plus1, 16)[_flat_view_ids(lists, n_plus1)]
+    bt = lists.shape[0] * lists.shape[1]
+    return jnp.swapaxes(flat.reshape(bt, lists.shape[2], 16), 1, 2)
+
+
 def _forward_tiled(F, lists, counts, rays_t, pix_t, *, tile_h, tile_w,
                    chunk, width, with_median, with_dist):
     """Batched over views: F [B, N+1, 16], lists [B, T, K], rays/pix
@@ -374,8 +390,7 @@ def _forward_tiled(F, lists, counts, rays_t, pix_t, *, tile_h, tile_w,
     b, n_tiles, K = lists.shape
     p_tile = tile_h * tile_w
     n_chunks = K // chunk
-    Fg = jax.vmap(lambda f, l: jnp.swapaxes(f[l], 1, 2))(F, lists)
-    Fg = Fg.reshape(b * n_tiles, 16, K)         # feature-major
+    Fg = _gather_features(F, lists)             # [B*T, 16, K]
     counts = counts.reshape(b * n_tiles)
     rays_t = rays_t.reshape(b * n_tiles, p_tile, 3)
     pix_t = pix_t.reshape(b * n_tiles, p_tile, 2)
@@ -424,8 +439,7 @@ def _backward_tiled(F, lists, counts, rays_t, pix_t, tbound, outs, g_tiled,
     b, n_tiles, K = lists.shape
     p_tile = tile_h * tile_w
     n_chunks = K // chunk
-    Fg = jax.vmap(lambda f, l: jnp.swapaxes(f[l], 1, 2))(F, lists)
-    Fg = Fg.reshape(b * n_tiles, 16, K)
+    Fg = _gather_features(F, lists)             # [B*T, 16, K]
     counts = counts.reshape(b * n_tiles)
     rays_t = rays_t.reshape(b * n_tiles, p_tile, 3)
     pix_t = pix_t.reshape(b * n_tiles, p_tile, 2)
@@ -464,17 +478,18 @@ def _backward_tiled(F, lists, counts, rays_t, pix_t, tbound, outs, g_tiled,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(counts, Fg, rays_t, pix_t, tbound, outs, g_tiled)
-    # scatter per-tile-entry grads back to surfels (atomics-free),
-    # per view
+    # scatter per-tile-entry grads back to surfels (atomics-free).
+    # An UNROLLED per-view 1-D scatter-add is ~4x faster than either a
+    # vmapped per-view scatter (pathological batched-scatter lowering) or
+    # one flat offset-indexed scatter over a [B*(N+1)] pool (measured
+    # 62 ms vs 244 ms at B=4, T*K=786k rows, TPU v5e).
     n_plus1 = F.shape[1]
-    dFg = dFg.reshape(b, n_tiles // b, 16, K)
-
-    def scat(dfg, l):
-        rows = jnp.swapaxes(dfg, 1, 2).reshape(-1, 16)
-        return jnp.zeros((n_plus1, 16),
-                         jnp.float32).at[l.reshape(-1)].add(rows)
-
-    return jax.vmap(scat)(dFg, lists)
+    rows_v = jnp.swapaxes(dFg, 1, 2).reshape(b, n_tiles // b * K, 16)
+    return jnp.stack([
+        jnp.zeros((n_plus1, 16), jnp.float32)
+        .at[lists[i].reshape(-1)].add(rows_v[i])
+        for i in range(b)
+    ])
 
 
 # ---------------------------------------------------------------------------

@@ -35,22 +35,45 @@ def run_multiview(opts, params, args):
                                 params, margin_px=4.0)
     jax.block_until_ready(tiles.lists)
 
+    from splatloam_tpu.ops.rasterizer.pallas_raster import \
+        rasterize_pallas_batched
+
+    def timeit(name, fn, *a):
+        out = fn(*a)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(opts.iters):
+            out = fn(*a)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / opts.iters
+        print(json.dumps({"op": f"{name} x{B}views",
+                          "ms": round(dt * 1e3, 3),
+                          "rays_per_s_M":
+                              round(B * H * W / dt / 1e6, 3)}))
+
+    @jax.jit
+    def fwd_raw(xyz, s, q, o):
+        c = rasterize_pallas_batched(xyz, s, q, o, T_b, K_b, params,
+                                     tiles=tiles)
+        return c["depth_sum"], c["alpha"]
+
+    timeit("fwd_raw", fwd_raw, xyz, scales, quat, opac)
+
+    def loss_raw(xyz, s, q, o):
+        c = rasterize_pallas_batched(xyz, s, q, o, T_b, K_b, params,
+                                     tiles=tiles)
+        return jnp.mean(jnp.abs(c["depth_sum"])) + jnp.mean(c["alpha"])
+
+    timeit("fwd+bwd_raw", jax.jit(jax.grad(loss_raw, argnums=(0, 1, 2, 3))),
+           xyz, scales, quat, opac)
+
     def loss(xyz, s, q, o):
         pkg = render_batch(xyz, s, q, o, T_b, K_b, params, tiles=tiles)
         return (jnp.mean(jnp.abs(pkg["surf_depth"] - 10.0))
                 + 0.1 * jnp.mean(pkg["rend_alpha"]))
 
-    grad = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))
-    g = grad(xyz, scales, quat, opac)
-    jax.block_until_ready(g)
-    t0 = time.perf_counter()
-    for _ in range(opts.iters):
-        g = grad(xyz, scales, quat, opac)
-    jax.block_until_ready(g)
-    dt = (time.perf_counter() - t0) / opts.iters
-    print(json.dumps({"op": f"fwd+bwd x{B}views", "ms": round(dt * 1e3, 3),
-                      "rays_per_s_fwd_bwd_M":
-                          round(B * H * W / dt / 1e6, 3)}))
+    timeit("fwd+bwd", jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3))),
+           xyz, scales, quat, opac)
 
 
 def main():

@@ -59,12 +59,15 @@ def main():
     ap.add_argument("--height", type=int, default=64)
     ap.add_argument("--width", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=300)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke testing)")
     opts = ap.parse_args()
 
+    import jax
+    if opts.cpu:
+        jax.config.update("jax_platforms", "cpu")
     from splatloam_tpu.cli import _enable_compilation_cache
     _enable_compilation_cache()
-
-    import jax
     from splatloam_tpu.config import Configuration, from_dict
     from splatloam_tpu.eval.odometry import evaluate_rpe
     from splatloam_tpu.eval.recon import evaluate_recon
@@ -81,7 +84,8 @@ def main():
         "preprocessing": {"image_height": opts.height,
                           "image_width": opts.width,
                           "depth_min": 1.0, "depth_max": 60.0,
-                          "enable_normal_estimation": False},
+                          "enable_normal_estimation": False,
+                          "enable_ground_segmentation": False},
         # mapping-GT protocol (ref configs/maicity/maicity-01-mapping-gt)
         "tracking": {"method": "gt", "keyframe_threshold_nframes": 5,
                      "keyframe_threshold_distance": -1,
