@@ -429,17 +429,24 @@ def _forward_tiled(F, lists, counts, rays_t, pix_t, *, tile_h, tile_w,
         interpret=_interpret(),
     )(counts, Fg, rays_t, pix_t)
     return (out.reshape(b, n_tiles // b, p_tile, 8),
-            tbound.reshape(b, n_tiles // b, p_tile, n_chunks))
+            tbound.reshape(b, n_tiles // b, p_tile, n_chunks), Fg)
 
 
 def _backward_tiled(F, lists, counts, rays_t, pix_t, tbound, outs, g_tiled,
                     *, tile_h, tile_w, chunk, width, with_median,
-                    with_dist):
-    """Batched like _forward_tiled; returns dF [B, N+1, 16]."""
+                    with_dist, Fg=None):
+    """Batched like _forward_tiled; returns dF [B, N+1, 16].
+
+    ``Fg`` (the per-tile gathered features from the forward) is reused when
+    supplied: the random-access gather of T*K narrow rows costs ~27 ms at
+    B=4 on v5e — far more than the sequential HBM traffic of keeping the
+    already-materialized forward copy alive as a residual.
+    """
     b, n_tiles, K = lists.shape
     p_tile = tile_h * tile_w
     n_chunks = K // chunk
-    Fg = _gather_features(F, lists)             # [B*T, 16, K]
+    if Fg is None:
+        Fg = _gather_features(F, lists)         # [B*T, 16, K]
     counts = counts.reshape(b * n_tiles)
     rays_t = rays_t.reshape(b * n_tiles, p_tile, 3)
     pix_t = pix_t.reshape(b * n_tiles, p_tile, 2)
@@ -498,21 +505,22 @@ def _backward_tiled(F, lists, counts, rays_t, pix_t, tbound, outs, g_tiled,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def _raster_core(F, lists, counts, rays_t, pix_t, static):
-    out, _ = _forward_tiled(F, lists, counts, rays_t, pix_t, **static._asdict())
+    out, _, _ = _forward_tiled(F, lists, counts, rays_t, pix_t,
+                               **static._asdict())
     return out
 
 
 def _raster_core_fwd(F, lists, counts, rays_t, pix_t, static):
-    out, tbound = _forward_tiled(F, lists, counts, rays_t, pix_t,
-                                 **static._asdict())
-    return out, (F, lists, counts, rays_t, pix_t, tbound, out)
+    out, tbound, Fg = _forward_tiled(F, lists, counts, rays_t, pix_t,
+                                     **static._asdict())
+    return out, (F, lists, counts, rays_t, pix_t, tbound, out, Fg)
 
 
 def _raster_core_bwd(static, res, g):
     import numpy as np
-    F, lists, counts, rays_t, pix_t, tbound, outs = res
+    F, lists, counts, rays_t, pix_t, tbound, outs, Fg = res
     dF = _backward_tiled(F, lists, counts, rays_t, pix_t, tbound, outs, g,
-                         **static._asdict())
+                         **static._asdict(), Fg=Fg)
     # integer args take symbolic-zero (float0) cotangents
     f0 = jax.dtypes.float0
     return (dF, np.zeros(lists.shape, f0), np.zeros(counts.shape, f0),
