@@ -365,6 +365,65 @@ def _bwd_kernel(counts_ref, fg_ref, rays_ref, pix_ref, tbound_ref,
     jax.lax.fori_loop(0, n_live, body, (zeros_p1, zeros_p1, zeros_p1))
 
 
+def _scatter_rows_kernel(counts_ref, ids_ref, rows_ref, dF_ref):
+    """Sequential-grid scatter-add: dF[ids[t, j]] += rows[t, j] for
+    j < counts[t].
+
+    One grid step per tile; the [R, 16] output block has a constant index
+    map so it stays VMEM-resident across all steps and is written back to
+    HBM once.  Dynamic-sublane read-modify-write ([1, 16] slices at a
+    runtime row) is legal Mosaic and measured ~2.2x faster than XLA's
+    scatter-add lowering for the same rows (7.9 ms vs 17.6 ms, 433k rows,
+    v5e) — and it skips pad rows for free via the per-tile count.  4-wide
+    unrolling hides RMW latency (u1 11.2 ms / u4 7.9 ms / u8 9.2 ms).
+    The <=3 overshoot entries of the last quad are binning pads pointing
+    at the per-view dummy row, which the caller discards.
+    """
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _init():
+        dF_ref[...] = jnp.zeros_like(dF_ref)
+
+    count = counts_ref[t]
+
+    def body(q, _):
+        j = q * 4
+        for u in range(4):
+            sid = ids_ref[0, 0, j + u]
+            dF_ref[pl.ds(sid, 1), :] = (dF_ref[pl.ds(sid, 1), :]
+                                        + rows_ref[0, pl.ds(j + u, 1), :])
+        return 0
+
+    jax.lax.fori_loop(0, (count + 3) // 4, body, 0)
+
+
+def _scatter_rows(dFg, flat_ids, counts, n_rows):
+    """dFg [BT, 16, K] per-tile-entry grads -> dF [n_rows, 16] by flat id."""
+    bt, _, K = dFg.shape
+    rows = jnp.swapaxes(dFg, 1, 2)              # [BT, K, 16]
+    return pl.pallas_call(
+        _scatter_rows_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bt,),
+            in_specs=[
+                pl.BlockSpec((1, 1, K), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, K, 16), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((n_rows, 16), lambda t, *_: (0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_rows, 16), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(counts, flat_ids.reshape(bt, 1, K), rows)
+
+
 def _flat_view_ids(lists, n_plus1):
     """[B, T, K] per-view ids -> flat ids into a [B*(N+1)] pool."""
     b = lists.shape[0]
@@ -485,12 +544,19 @@ def _backward_tiled(F, lists, counts, rays_t, pix_t, tbound, outs, g_tiled,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(counts, Fg, rays_t, pix_t, tbound, outs, g_tiled)
-    # scatter per-tile-entry grads back to surfels (atomics-free).
-    # An UNROLLED per-view 1-D scatter-add is ~4x faster than either a
-    # vmapped per-view scatter (pathological batched-scatter lowering) or
-    # one flat offset-indexed scatter over a [B*(N+1)] pool (measured
-    # 62 ms vs 244 ms at B=4, T*K=786k rows, TPU v5e).
+    # scatter per-tile-entry grads back to surfels (atomics-free)
     n_plus1 = F.shape[1]
+    if b * n_plus1 * 16 * 4 <= 80 * 2 ** 20:
+        # in-kernel RMW scatter over a VMEM-resident [B*(N+1), 16] pool
+        # (see _scatter_rows_kernel); all views share one kernel grid
+        dF = _scatter_rows(dFg, _flat_view_ids(lists, n_plus1),
+                           counts, b * n_plus1)
+        return dF.reshape(b, n_plus1, 16)
+    # fallback for pools too large for VMEM residency: an UNROLLED
+    # per-view 1-D scatter-add is ~4x faster than either a vmapped
+    # per-view scatter (pathological batched-scatter lowering) or one
+    # flat offset-indexed scatter over a [B*(N+1)] pool (measured 62 ms
+    # vs 244 ms at B=4, T*K=786k rows, TPU v5e).
     rows_v = jnp.swapaxes(dFg, 1, 2).reshape(b, n_tiles // b * K, 16)
     return jnp.stack([
         jnp.zeros((n_plus1, 16), jnp.float32)
