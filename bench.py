@@ -90,7 +90,7 @@ def _build_block(args, params, rebin):
     @jax.jit
     def block(xyz, scales, quat, opac):
         tiles = prepare_tiles(xyz, scales, quat, opac, args[4], args[5],
-                              params, margin_px=4.0)
+                              params, margin_px=1.0)
 
         def body(_, p):
             g = grad_fn(*p, tiles)

@@ -242,7 +242,7 @@ class ComputeConfig:
     rebin_every: int = 8
     # Binning radius margin (pixels) absorbing parameter drift between
     # rebinning points.
-    bin_margin_px: float = 4.0
+    bin_margin_px: float = 1.0
 
 
 @dataclass
