@@ -8,6 +8,8 @@ not in this image).  Extra-arg dotted overrides (``mapping.num_iterations=
 from __future__ import annotations
 
 import argparse
+import json
+import os
 import sys
 from datetime import datetime
 from pathlib import Path
@@ -45,7 +47,68 @@ def pipeline_sanity_check(cfg, data_loader) -> None:
         sys.exit(-1)
 
 
+def run_supervised(args, extra: list[str]) -> None:
+    """Elastic recovery: run `slam` as a child process and restart it from
+    the latest checkpoint when it dies (TPU preemption, OOM, injected
+    fault).  The restart budget refills whenever the checkpoint advances,
+    so long runs survive many preemptions while genuine crash loops
+    (no forward progress) still terminate.  SURVEY.md §5 failure-detection
+    row; the reference has no recovery at all (aborts on first error).
+    """
+    import subprocess
+
+    cfg = load_configuration(args.configuration, extra)
+    ckpt_dir = cfg.output.checkpoint_dir
+    if not ckpt_dir:
+        logger.warning("supervise: output.checkpoint_dir unset — restarts "
+                       "will replay from frame 0")
+
+    def progress() -> int:
+        if not ckpt_dir:
+            return 0
+        manifest = Path(ckpt_dir) / "manifest.json"
+        if not manifest.is_file():
+            return 0
+        try:
+            with open(manifest) as f:
+                return int(json.load(f).get("n_frames_processed", 0))
+        except (OSError, ValueError):
+            return 0
+
+    child_argv = [sys.executable, "-m", "splatloam_tpu", "slam",
+                  str(args.configuration), "--resume"]
+    if args.verbose:
+        child_argv.append("--verbose")
+    if args.max_frames is not None:
+        child_argv += ["--max-frames", str(args.max_frames)]
+    child_argv += extra
+
+    budget = args.max_restarts
+    attempt = 0
+    while True:
+        attempt += 1
+        before = progress()
+        logger.info(f"supervise: attempt {attempt} "
+                    f"(checkpoint at frame {before}, "
+                    f"{budget} restarts left)")
+        rc = subprocess.call(child_argv)
+        if rc == 0:
+            logger.info("supervise: run completed")
+            return
+        after = progress()
+        if after > before:
+            budget = args.max_restarts      # forward progress: refill
+        else:
+            budget -= 1
+        logger.warning(f"supervise: child exited rc={rc} at frame "
+                       f"{after}; {'restarting' if budget > 0 else 'giving up'}")
+        if budget <= 0:
+            sys.exit(rc)
+
+
 def cmd_slam(args, extra: list[str]) -> None:
+    if getattr(args, "supervise", False):
+        return run_supervised(args, extra)
     safe_state()
     set_log_level(args.verbose)
     cfg = load_configuration(args.configuration, extra)
@@ -73,11 +136,25 @@ def cmd_slam(args, extra: list[str]) -> None:
     n = args.max_frames
     from .profiling import get_profiler
     prof = get_profiler()
+    fault_at = os.environ.get("SPLATLOAM_FAULT_AT_FRAME")
     for i, (cloud, timestamp, pose) in enumerate(iterator):
         if i < skip:
             continue
         if n is not None and i >= n:
             break
+        if fault_at is not None and i == int(fault_at):
+            # fault injection for elastic-recovery tests: dies once (a
+            # sentinel in the checkpoint dir suppresses re-injection
+            # after the supervisor restarts us), like a TPU preemption
+            sentinel = (Path(cfg.output.checkpoint_dir) / ".fault_injected"
+                        if cfg.output.checkpoint_dir else None)
+            if sentinel is None or not sentinel.exists():
+                if sentinel is not None:
+                    sentinel.parent.mkdir(parents=True, exist_ok=True)
+                    sentinel.touch()
+                raise RuntimeError(
+                    f"injected fault at frame {i} "
+                    "(SPLATLOAM_FAULT_AT_FRAME)")
         with prof.phase("preprocess"):
             frame = preprocessor(cloud, timestamp, pose)
         with prof.phase("process"):
@@ -271,6 +348,12 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--max-frames", type=int, default=None)
     s.add_argument("--resume", action="store_true",
                    help="resume from output.checkpoint_dir if present")
+    s.add_argument("--supervise", action="store_true",
+                   help="elastic recovery: restart from the latest "
+                        "checkpoint on crash/preemption")
+    s.add_argument("--max-restarts", type=int, default=5,
+                   help="restarts without checkpoint progress before "
+                        "giving up (budget refills on progress)")
     s.set_defaults(func=cmd_slam)
 
     m = sub.add_parser("mesh", help="Extract a mesh from SLAM output")
