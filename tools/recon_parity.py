@@ -113,6 +113,7 @@ def main():
 
     pre = Preprocessor(cfg)
     slam = SLAM(cfg)
+    observed = []       # what the sensor actually saw (world frame)
     t0 = time.perf_counter()
     for i in range(opts.frames):
         T = np.eye(4)
@@ -121,7 +122,18 @@ def main():
         Tinv = np.linalg.inv(T)
         cloud = (world[idx] @ Tinv[:3, :3].T + Tinv[:3, 3]).astype(
             np.float32)
-        slam.process(pre(cloud, 0.1 * i, T))
+        frame = pre(cloud, 0.1 * i, T)
+        slam.process(frame)
+        # observed-world reference: back-project the frame's valid range
+        # pixels (the protocol of the reference datasets, whose GT maps
+        # are themselves the OBSERVED world — unobserved geometry must
+        # not count against completeness)
+        from splatloam_tpu.geometry.spherical import depth_to_points
+        pts = np.asarray(depth_to_points(frame.camera.depth,
+                                         frame.camera.K)).reshape(-1, 3)
+        v = np.asarray(frame.camera.valid).reshape(-1)
+        pw = pts[v][::4] @ T[:3, :3].T + T[:3, 3]
+        observed.append(pw.astype(np.float32))
     wall = time.perf_counter() - t0
     res = slam.save_results()
     n_gauss = sum(m.no_gaussians for m in slam.local_models)
@@ -147,13 +159,18 @@ def main():
     print(json.dumps({"stage": "mesh_tsdf", "vertices": int(len(verts)),
                       "faces": int(len(faces))}), flush=True)
 
-    metrics = evaluate_recon(ref_file, mesh_file,
-                             down_sample_res=0.02, threshold=0.2,
-                             truncation_acc=0.5, truncation_com=0.5,
-                             mesh_sample_point=2_000_000)
-    metrics["stage"] = "eval_recon"
-    metrics["device"] = str(jax.devices()[0])
-    print(json.dumps(metrics), flush=True)
+    obs_file = out / "ref_observed.ply"
+    save_mesh_ply(obs_file, np.concatenate(observed).astype(np.float64),
+                  np.empty((0, 3), np.int64))
+    for tag, ref in (("eval_recon_full_world", ref_file),
+                     ("eval_recon_observed", obs_file)):
+        metrics = evaluate_recon(ref, mesh_file,
+                                 down_sample_res=0.02, threshold=0.2,
+                                 truncation_acc=0.5, truncation_com=0.5,
+                                 mesh_sample_point=2_000_000)
+        metrics["stage"] = tag
+        metrics["device"] = str(jax.devices()[0])
+        print(json.dumps(metrics), flush=True)
 
 
 if __name__ == "__main__":
