@@ -90,7 +90,7 @@ def _build_block(args, params, rebin):
     @jax.jit
     def block(xyz, scales, quat, opac):
         tiles = prepare_tiles(xyz, scales, quat, opac, args[4], args[5],
-                              params, margin_px=1.0)
+                              params, margin_px=1.5)
 
         def body(_, p):
             g = grad_fn(*p, tiles)
@@ -171,7 +171,7 @@ def run_throughput(budget_s):
                       "quick stage stands as headline"})
         return
     try:
-        _run_stage("full-100k", N_SURFELS, 30, 8, params, final=True)
+        _run_stage("full-100k", N_SURFELS, 15, 16, params, final=True)
     except Exception as e:  # noqa: BLE001 — stage 1 already landed a number
         emit({"metric": "bench_note", "value": 0, "unit": "",
               "note": f"full stage failed: {type(e).__name__}: {e}"})

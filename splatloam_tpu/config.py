@@ -239,10 +239,10 @@ class ComputeConfig:
     sigma_cut: float = 3.0
     # Rebuild tile lists every N mapping iterations (1 = exact per-step
     # binning); the sampled keyframe is held fixed within a block.
-    rebin_every: int = 8
+    rebin_every: int = 16
     # Binning radius margin (pixels) absorbing parameter drift between
     # rebinning points.
-    bin_margin_px: float = 1.0
+    bin_margin_px: float = 1.5
 
 
 @dataclass
