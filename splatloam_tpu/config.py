@@ -252,6 +252,11 @@ class ParallelConfig:
     data: int = 1
     # Number of ways the surfel pool is sharded (FSDP-style model axis).
     model: int = 1
+    # Data-axis work split: "rows" = contiguous row blocks (jnp + pallas),
+    # "tiles" = count-balanced tile deal (pallas only; immune to
+    # elevation-band load imbalance), "auto" = tiles when the pallas
+    # backend is active.
+    partition: str = "auto"
 
 
 @dataclass

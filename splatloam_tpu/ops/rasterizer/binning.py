@@ -160,6 +160,28 @@ def untile_px(chans_tiled: jax.Array, height: int, width: int, tile_h: int,
     return a.transpose(4, 0, 2, 1, 3).reshape(n_ch, height, width)
 
 
+def tile_image(img: jax.Array, tile_h: int, tile_w: int) -> jax.Array:
+    """[H, W] or [H, W, C] image -> [T, P(, C)] in kernel tile order
+    (tiles row-major over (ty, tx), pixels row-major within a tile)."""
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    height, width = img.shape[:2]
+    ty, tx = height // tile_h, width // tile_w
+    a = img.reshape(ty, tile_h, tx, tile_w, img.shape[-1])
+    a = a.transpose(0, 2, 1, 3, 4).reshape(ty * tx, tile_h * tile_w,
+                                           img.shape[-1])
+    return a[..., 0] if squeeze else a
+
+
+def untile_image(tiled: jax.Array, height: int, width: int, tile_h: int,
+                 tile_w: int) -> jax.Array:
+    """[T, P] per-tile scalar map -> [H, W] (inverse of tile_image)."""
+    ty, tx = height // tile_h, width // tile_w
+    a = tiled.reshape(ty, tx, tile_h, tile_w)
+    return a.transpose(0, 2, 1, 3).reshape(height, width)
+
+
 def pack_features(packed: common.PackedSurfels) -> jax.Array:
     """PackedSurfels -> F [N+1, 16] (last row = zero padding target).
 

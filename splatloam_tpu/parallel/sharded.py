@@ -299,6 +299,159 @@ def sharded_optimize(mesh: Mesh, params: RenderParams, hyper: S.AdamHyper,
     return jax.jit(mapped)
 
 
+def sharded_optimize_tiles(mesh: Mesh, params: RenderParams,
+                           hyper: S.AdamHyper, mc, compute_cfg,
+                           depth_ratio: float = 0.0):
+    """Balanced TILE-level data parallelism (docs/ARCHITECTURE.md scaling
+    model: the row-block split's bound is per-band load imbalance).
+
+    The rasterizer is tile-based, so the "data" axis can own an arbitrary
+    SUBSET of tiles: at each rebin point tiles are ordered by binning
+    count and dealt snake-wise across shards, equalizing per-shard
+    surfel-pixel pairs regardless of scene geometry.  Losses are computed
+    in tile space (the tile grid covers every pixel exactly once); the
+    one cross-tile term — surf_normal's finite differences — reassembles
+    the full depth image from an O(image) all_gather (~256 KB at
+    64x1024, AD-correct under shard_map: its transpose is the matching
+    reduce-scatter).
+
+    Semantically identical to ``sharded_optimize`` and to the
+    single-device schedule; requires the pallas backend (the jnp golden
+    renderer has no tile decomposition).
+    """
+    from ..ops.rasterizer import binning as BN
+    from ..ops.rasterizer import common as CM
+    from ..ops.rasterizer import pallas_raster as PR
+    from ..geometry import se3, spherical
+    from ..slam.mapper import run_block_loop
+
+    n_data = mesh.shape["data"]
+    n_model = mesh.shape["model"]
+    height, width = params.height, params.width
+    tile_h, tile_w = params.tile_h, params.tile_w
+    n_tiles = (height // tile_h) * (width // tile_w)
+    assert n_tiles % n_data == 0, (n_tiles, n_data)
+    t_local = n_tiles // n_data
+    rebin = max(1, int(compute_cfg.rebin_every))
+    margin_px = float(compute_cfg.bin_margin_px)
+    static = PR._StaticArgs(tile_h=tile_h, tile_w=tile_w,
+                            chunk=params.chunk, width=width,
+                            with_median=params.with_median,
+                            with_dist=params.with_dist)
+
+    def opt(surf_shard: S.Surfels, adam_shard: S.AdamState, kf, key):
+        from ..ops.rasterizer.api import prepare_tiles
+
+        def make_tiles(surf, kf_idx):
+            full = _gather_model(surf.params)
+            active = jax.lax.all_gather(surf.active, "model", tiled=True)
+            scaling = jnp.exp(full.log_scale)
+            opacity = jax.nn.sigmoid(full.logit_opacity) * active
+            tiles = prepare_tiles(full.xyz, scaling, full.quat, opacity,
+                                  kf.T_cw[kf_idx], kf.K[kf_idx], params,
+                                  margin_px=margin_px)
+            # balanced snake deal: rank tiles by count (desc), deal rank
+            # r to device (r % n) with odd deal-rounds reversed, so every
+            # shard gets one tile from each count stratum
+            order = jnp.argsort(-tiles.counts)
+            mat = order.reshape(t_local, n_data)
+            odd = (jnp.arange(t_local) % 2 == 1)[:, None]
+            mat = jnp.where(odd, mat[:, ::-1], mat)          # [t_local, n]
+            idx = jax.lax.axis_index("data")
+            mine = jnp.take(mat, idx, axis=1)                # [t_local]
+            sub = PR.TileAssignment(
+                lists=tiles.lists[mine], counts=tiles.counts[mine],
+                rays_t=tiles.rays_t[mine], pix_t=tiles.pix_t[mine])
+            # gathered tile row d*t_local+j holds global tile mat[j, d]
+            scatter_perm = mat.T.reshape(-1)                 # [n_tiles]
+            return sub, mine, scatter_perm
+
+        def one_iter(surf, st, kf_idx, tiles3):
+            sub, mine, scatter_perm = tiles3
+            full = _gather_model(surf.params)
+            active = jax.lax.all_gather(surf.active, "model", tiled=True)
+            T_cw = kf.T_cw[kf_idx]
+            K = kf.K[kf_idx]
+            gt_t = BN.tile_image(kf.depth[kf_idx], tile_h, tile_w)[mine]
+            validf = BN.tile_image(kf.valid[kf_idx], tile_h,
+                                   tile_w)[mine].astype(jnp.float32)
+            v_sum = jnp.maximum(jax.lax.psum(jnp.sum(validf), "data"), 1.0)
+            R_wc = T_cw[:3, :3].T
+            T_wc = se3.invert_T(T_cw)
+
+            def loss_fn(full_params):
+                scaling = jnp.exp(full_params.log_scale)
+                opacity = jax.nn.sigmoid(full_params.logit_opacity) * \
+                    active
+                packed = CM.pack_surfels(full_params.xyz, scaling,
+                                         full_params.quat, opacity,
+                                         T_cw, K)
+                F = BN.pack_features(packed)
+                out = PR._raster_core(F[None], sub.lists[None],
+                                      sub.counts[None], sub.rays_t[None],
+                                      sub.pix_t[None], static)[0]
+                alpha = out[..., 1]                          # [t, P]
+                mask = alpha > 0.0
+                safe = jnp.where(mask, alpha, 1.0)
+                depth_exp = jnp.where(mask, out[..., 0] / safe, 0.0)
+                surf_depth_t = depth_exp * (1.0 - depth_ratio) + \
+                    out[..., 5] * depth_ratio
+                normal_cam = out[..., 2:5] / safe[..., None]
+                rend_normal = jnp.where(mask[..., None],
+                                        normal_cam @ R_wc.T, 0.0)
+
+                l1_sum = jnp.sum(jnp.abs(validf * (surf_depth_t - gt_t)))
+                # cross-tile normal term: reassemble the full depth image
+                gath = jax.lax.all_gather(surf_depth_t, "data", tiled=True,
+                                          axis=0)            # [n_tiles, P]
+                full_t = jnp.zeros_like(gath).at[scatter_perm].set(gath)
+                depth_img = BN.untile_image(full_t, height, width,
+                                            tile_h, tile_w)
+                normals = spherical.depth_to_normal(depth_img, K, T_wc)
+                surf_normal = BN.tile_image(normals, tile_h,
+                                            tile_w)[mine] * \
+                    alpha[..., None]
+                ndot = jnp.sum(rend_normal * surf_normal, -1)
+                n_sum = jnp.sum((1.0 - ndot) * validf)
+                a = jnp.clip(alpha, 1e-7, 1.0 - 1e-7)
+                a_sum = jnp.sum(-jnp.log(a) * validf)
+                smax = jnp.max(scaling, axis=-1)
+                over = jnp.maximum(smax - mc.opt_scaling_max, 0.0) * active
+                reg = mc.opt_scaling_max_penalty * jnp.sum(over) / n_data
+                return (l1_sum / (height * width)
+                        + mc.opt_lambda_alpha * a_sum / v_sum
+                        + mc.opt_lambda_normal * n_sum / v_sum
+                        + reg)
+
+            loss_local, grads = jax.value_and_grad(loss_fn)(full)
+            loss = jax.lax.psum(loss_local, "data")
+            grads = S.SurfelParams(*(jax.lax.psum(g, "data")
+                                     for g in grads))
+            grad_shard = _slice_model(grads, n_model)
+            surf2, st2 = S.adam_step(surf, st, grad_shard, hyper)
+            return surf2, st2, loss
+
+        return run_block_loop(
+            surf_shard, adam_shard, kf.log_probs, key,
+            num_iters=mc.num_iterations + 1, rebin=rebin,
+            early=bool(mc.early_stop_enable),
+            patience_blocks=max(1, int((mc.early_stop_patience or 100)
+                                       // rebin)),
+            es_threshold=float(mc.early_stop_threshold or 0.01),
+            make_tiles=make_tiles, one_iter=one_iter)
+
+    from ..slam.mapper import KeyframeBatch
+    surf_spec, adam_spec = _surf_specs()
+    kf_spec = KeyframeBatch(K=P(), T_cw=P(), depth=P(),
+                            valid=P(), log_probs=P())
+    mapped = jax.shard_map(
+        opt, mesh=mesh,
+        in_specs=(surf_spec, adam_spec, kf_spec, P()),
+        out_specs=(surf_spec, adam_spec, P(), P()),
+        check_vma=False)
+    return jax.jit(mapped)
+
+
 def sharded_densify(mesh: Mesh, params: RenderParams, mc, max_new: int,
                     depth_ratio: float = 0.0):
     """Sharded densification: the render (the expensive part) is row-DP

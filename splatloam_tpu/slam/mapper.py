@@ -440,16 +440,25 @@ class Mapper:
         runs inside ONE jitted shard_map while_loop — no per-iteration
         host sync or keyframe re-staging."""
         from ..parallel.sharded import (sharded_densify, sharded_optimize,
+                                        sharded_optimize_tiles,
                                         sharded_prune)
 
         mc = self.cfg.mapping
+        part = self.cfg.parallel.partition
+        if part == "auto":
+            from ..ops.rasterizer.api import _resolve_backend
+            part = ("tiles"
+                    if _resolve_backend(progs.params.backend) == "pallas"
+                    else "rows")
+        opt_builder = (sharded_optimize_tiles if part == "tiles"
+                       else sharded_optimize)
         sig = (progs.height, progs.width, progs.capacity)
         if sig not in self._sharded_steps:
             self._sharded_steps[sig] = {
                 "densify": sharded_densify(
                     self._mesh, progs.params, mc, progs.max_new,
                     self.cfg.opt.depth_ratio),
-                "optimize": sharded_optimize(
+                "optimize": opt_builder(
                     self._mesh, progs.params, progs.hyper, mc,
                     self.cfg.compute, self.cfg.opt.depth_ratio),
                 "prune": sharded_prune(self._mesh, mc),

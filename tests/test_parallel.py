@@ -168,6 +168,63 @@ def test_sharded_full_update_matches_single_device(rng, tmp_path):
                                   np.asarray(s3_ref.active))
 
 
+@pytest.mark.slow
+def test_balanced_tile_partition_matches_single_device(rng, tmp_path):
+    """sharded_optimize_tiles (count-balanced tile deal over "data") must
+    match the single-device pallas optimize loop — the load-balance fix
+    named in docs/ARCHITECTURE.md's scaling model."""
+    import synthetic
+    from splatloam_tpu.parallel.sharded import sharded_optimize_tiles
+    from splatloam_tpu.slam.mapper import (KeyframeBatch, MapperPrograms,
+                                           sample_geometric_probs)
+
+    cfg = synthetic.make_config(
+        tmp_path,
+        mapping={"num_iterations": 7, "densify_percentage": 0.1},
+        compute={"backend": "pallas", "rebin_every": 4,
+                 "tile_list_capacity": 512})
+    h, w = 16, 256
+    progs = MapperPrograms(cfg, h, w, CAP)
+    mesh = make_mesh(data=4, model=2)
+    sh_opt = sharded_optimize_tiles(mesh, progs.params, progs.hyper,
+                                    cfg.mapping, cfg.compute,
+                                    cfg.opt.depth_ratio)
+
+    cam = _camera(rng, h, w)
+    key = jax.random.PRNGKey(7)
+    surf0 = S.empty_surfels(CAP)
+    adam0 = S.empty_adam(CAP)
+    s_ref, a_ref, _, _ = progs._densify(surf0, adam0, cam, key,
+                                        initialize=True)
+
+    kf_cap = 8
+    probs = sample_geometric_probs(1, 0.4, kf_cap)
+    log_probs = np.full((kf_cap,), -np.inf, np.float32)
+    log_probs[0] = np.log(probs[0])
+
+    def pad(x1):
+        return jnp.concatenate(
+            [x1[None], jnp.zeros((kf_cap - 1,) + x1.shape, x1.dtype)])
+
+    kf = KeyframeBatch(K=pad(cam.K), T_cw=pad(cam.T_cw),
+                       depth=pad(cam.depth), valid=pad(cam.valid),
+                       log_probs=jnp.asarray(log_probs))
+    okey = jax.random.PRNGKey(3)
+    s2_ref, a2_ref, ema_ref, it_ref = progs._optimize(s_ref, a_ref, kf,
+                                                      okey)
+    surf_sh, adam_sh = shard_model_state(mesh, s_ref, a_ref)
+    s2_sh, a2_sh, ema_sh, it_sh = sh_opt(surf_sh, adam_sh, kf, okey)
+    assert int(it_sh) == int(it_ref) >= 8
+    np.testing.assert_allclose(float(ema_sh), float(ema_ref), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(s2_sh.params.xyz),
+                               np.asarray(s2_ref.params.xyz), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(s2_sh.params.logit_opacity),
+                               np.asarray(s2_ref.params.logit_opacity),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(a2_sh.mu.xyz),
+                               np.asarray(a2_ref.mu.xyz), atol=5e-5)
+
+
 def test_ring_compositing_matches_single_device(rng):
     """Beyond-HBM prototype: surfel pool depth-partitioned over 8 "model"
     shards, per-shard rendering + ring (T, S) carry fold over ppermute
