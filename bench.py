@@ -176,6 +176,31 @@ def run_throughput(budget_s):
         emit({"metric": "bench_note", "value": 0, "unit": "",
               "note": f"full stage failed: {type(e).__name__}: {e}"})
 
+    # Hardware parity rider: one small Pallas-vs-golden forward check so
+    # every captured bench run carries a machine-readable parity line
+    # (the interpret-mode test suite can't see real VMEM behavior).
+    if budget_s - _elapsed() > 120.0:
+        try:
+            import numpy as np
+            from splatloam_tpu.ops.rasterizer.jnp_ref import rasterize_jnp
+            from splatloam_tpu.ops.rasterizer.pallas_raster import \
+                rasterize_pallas
+            rng = np.random.default_rng(0)
+            args = make_scene(rng, 20_000)
+            ref = rasterize_jnp(*args, H, W)
+            out = rasterize_pallas(*args, params._replace(
+                with_median=True, with_dist=True))
+            diffs = {k: float(abs(np.asarray(out[k], np.float32)
+                                  - np.asarray(ref[k], np.float32)).max())
+                     for k in ("alpha", "depth_sum", "normal_sum")}
+            ok = (diffs["alpha"] <= 5e-4 and diffs["depth_sum"] <= 5e-3
+                  and diffs["normal_sum"] <= 5e-3)
+            emit({"metric": "parity_rider_fwd_20k", "value": int(ok),
+                  "unit": "bool(1=pass)", "max_abs_diff": diffs})
+        except Exception as e:  # noqa: BLE001 — parity is a rider
+            emit({"metric": "bench_note", "value": 0, "unit": "",
+                  "note": f"parity rider failed: {type(e).__name__}: {e}"})
+
 
 def run_parity():
     """Hardware parity of Pallas vs jnp-golden (fwd + grad), incl. an
