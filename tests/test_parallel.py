@@ -261,6 +261,52 @@ def test_ring_compositing_matches_single_device(rng):
                                np.asarray(ref["final_T"]), atol=2e-5)
 
 
+def test_ring_compositing_gradients_match(rng):
+    """Gradients THROUGH the ring fold (autodiff over ppermute/scan) must
+    equal monolithic gradients — the beyond-HBM path must support the
+    mapper's optimization, not just rendering."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from splatloam_tpu.parallel.ring import (depth_partition_shards,
+                                             ring_render)
+    from splatloam_tpu.ops.rasterizer.jnp_ref import rasterize_jnp
+
+    surf, adam, K, T_cw, depth, valid = _setup(rng)
+    mesh = make_mesh(data=1, model=8)
+    params = RenderParams(height=H, width=W, backend="jnp")
+
+    perm = depth_partition_shards(surf, T_cw, 8)
+    inv = jnp.argsort(perm)
+    surf_p = S.SurfelParams(*(a[perm] for a in surf.params))
+    active_p = surf.active[perm]
+    shard = NamedSharding(mesh, P("model"))
+    params_sh = S.SurfelParams(*(jax.device_put(a, shard) for a in surf_p))
+    active_sh = jax.device_put(active_p, shard)
+    ring = ring_render(mesh, params)
+
+    def loss_ring(p):
+        out = ring(p, active_sh, T_cw, K)
+        return (jnp.sum(out["depth_sum"]) * 0.1 + jnp.sum(out["alpha"])
+                + 0.5 * jnp.sum(out["normal_sum"]))
+
+    def loss_ref(p):
+        scaling = jnp.exp(p.log_scale)
+        opacity = jax.nn.sigmoid(p.logit_opacity) * surf.active
+        c = rasterize_jnp(p.xyz, scaling, p.quat, opacity, T_cw, K, H, W)
+        return (jnp.sum(c["depth_sum"]) * 0.1 + jnp.sum(c["alpha"])
+                + 0.5 * jnp.sum(c["normal_sum"]))
+
+    g_ring = jax.grad(loss_ring)(params_sh)
+    g_ref = jax.grad(loss_ref)(surf.params)
+    act = np.asarray(surf.active) > 0    # padded slots have norm-at-zero
+    for name, gr, gp in zip(S.SurfelParams._fields, g_ref, g_ring):
+        gp_unperm = np.asarray(gp)[np.asarray(inv)][act]
+        gr = np.asarray(gr)[act]
+        scale = float(np.abs(gr).max()) + 1e-8
+        np.testing.assert_allclose(gp_unperm, gr,
+                                   atol=3e-5 * max(scale, 1.0),
+                                   err_msg=name)
+
+
 @pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 4)])
 def test_sharded_step_matches_single_device(rng, mesh_shape):
     assert len(jax.devices()) == 8, "conftest must force 8 cpu devices"
