@@ -1,5 +1,6 @@
 """SLAM mapping with cfg.parallel > 1 on the virtual 8-device CPU mesh."""
 import numpy as np
+import pytest
 
 import synthetic
 from splatloam_tpu.logging_backends import reset_datalogger
@@ -7,14 +8,19 @@ from splatloam_tpu.preprocessing import Preprocessor
 from splatloam_tpu.slam import SLAM
 
 
-def test_slam_with_sharded_mapper(tmp_path, rng):
+@pytest.mark.parametrize("backend", ["jnp", "pallas"])
+def test_slam_with_sharded_mapper(tmp_path, rng, backend):
+    """backend=jnp exercises the row-block partition, backend=pallas the
+    auto-selected count-balanced tile partition (mapper integration of
+    sharded_optimize_tiles)."""
     reset_datalogger()
+    n_iters = 40 if backend == "jnp" else 16
     cfg = synthetic.make_config(
         tmp_path,
-        mapping={"num_iterations": 40},
+        mapping={"num_iterations": n_iters},
         parallel={"data": 4, "model": 2},
-        compute={"backend": "jnp", "initial_capacity": 2048,
-                 "keyframe_capacity": 8})
+        compute={"backend": backend, "initial_capacity": 2048,
+                 "keyframe_capacity": 8, "rebin_every": 8})
     pre = Preprocessor(cfg)
     slam = SLAM(cfg)
     poses = synthetic.straight_trajectory(3, step=0.4)
@@ -30,7 +36,7 @@ def test_slam_with_sharded_mapper(tmp_path, rng):
     kf = model.keyframes[0]
     cam = kf.camera_in_model()
     params = RenderParams(height=cam.height, width=cam.width,
-                          backend="jnp")
+                          backend="jnp")  # oracle render for the check
     s = model.surfels
     out = render(s.params.xyz, s.scaling, s.rotation, s.opacity,
                  cam.T_cw, cam.K, params)
