@@ -192,7 +192,7 @@ def cmd_mesh(args, extra) -> None:
         output.parent.mkdir(parents=True, exist_ok=True)
 
     if args.method == "poisson":
-        mesh = mesh_poisson(
+        verts, faces = mesh_poisson(
             graph, cfg, graph_dir, kf_interval=args.kf_interval,
             kf_samples=args.kf_samples, min_opacity=args.min_opacity,
             poisson_depth=args.poisson_depth,
@@ -200,9 +200,7 @@ def cmd_mesh(args, extra) -> None:
             poisson_min_density=args.poisson_density_min,
             max_depth_dist=args.max_depth_dist,
             use_median_depth=args.median_depth)
-        import open3d as o3d
-        o3d.io.write_triangle_mesh(str(output), mesh,
-                                   write_vertex_normals=True)
+        save_mesh_ply(output, verts, faces)
     else:
         verts, faces = mesh_tsdf(
             graph, cfg, graph_dir, voxel_size=args.voxel_size,

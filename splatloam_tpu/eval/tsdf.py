@@ -187,6 +187,109 @@ def marching_cubes(tsdf: np.ndarray, origin: np.ndarray,
     return verts_world, faces
 
 
+def poisson_grid(points: np.ndarray, normals: np.ndarray,
+                 voxel_size: float, pad_voxels: int = 8,
+                 density_quantile: float = 0.01,
+                 smooth_voxels: float = 1.0):
+    """Self-contained Poisson surface reconstruction on a regular grid.
+
+    Replaces Open3D's octree screened-Poisson (ref
+    scene/postprocessing.py:199-215) when Open3D is unavailable: the
+    oriented samples are trilinearly splatted into a vector field V, the
+    indicator is recovered by an FFT solve of the (periodic, padded)
+    Poisson equation lap(chi) = div V with a Gaussian low-pass, the
+    iso-level is the sample-mean of chi (Kazhdan et al.'s rule), and —
+    like the reference's density-quantile vertex trimming — the field is
+    masked to NaN away from observed samples so the open-scan Poisson
+    hallucinations never reach the triangulation (marching tetrahedra
+    skip NaN cells).  Returns (vertices [V,3], triangles [T,3]).
+    """
+    points = np.asarray(points, np.float32)
+    normals = np.asarray(normals, np.float32)
+    nn = np.linalg.norm(normals, axis=1, keepdims=True)
+    ok = (nn[:, 0] > 1e-6) & np.isfinite(points).all(axis=1)
+    points, normals = points[ok], normals[ok] / nn[ok]
+    if len(points) == 0:
+        return np.zeros((0, 3)), np.zeros((0, 3), np.int32)
+
+    lo = points.min(axis=0) - pad_voxels * voxel_size
+    hi = points.max(axis=0) + pad_voxels * voxel_size
+    dims = np.ceil((hi - lo) / voxel_size).astype(int) + 1
+    if int(np.prod(dims)) > MAX_VOXELS:
+        raise ValueError(f"Poisson grid {dims} exceeds {MAX_VOXELS} "
+                         "voxels; increase voxel_size")
+    logger.info(f"Poisson grid {tuple(dims)} @ {voxel_size} m, "
+                f"{len(points)} samples")
+
+    # trilinear splat of normals into V and of counts into the density
+    g = (points - lo) / voxel_size
+    g0 = np.floor(g).astype(np.int64)
+    frac = g - g0
+    V = np.zeros((*dims, 3), np.float32)
+    dens = np.zeros(dims, np.float32)
+    for corner in _CUBE_CORNERS:
+        w = np.prod(np.where(corner[None, :] == 1, frac, 1.0 - frac),
+                    axis=1).astype(np.float32)
+        vox = np.clip(g0 + corner[None, :], 0, dims - 1)
+        flat = (vox[:, 0] * dims[1] + vox[:, 1]) * dims[2] + vox[:, 2]
+        np.add.at(dens.reshape(-1), flat, w)
+        for k in range(3):
+            np.add.at(V[..., k].reshape(-1), flat, w * normals[:, k])
+
+    # div V (central differences) -> FFT Poisson solve with low-pass
+    h = voxel_size
+    rhs = np.zeros(dims, np.float32)
+    for k in range(3):
+        rhs += np.gradient(V[..., k], h, axis=k).astype(np.float32)
+    freqs = [np.fft.fftfreq(d, d=1.0) for d in dims[:2]]
+    freqs.append(np.fft.rfftfreq(dims[2], d=1.0))
+    # eigenvalues of the 2nd-order central-difference Laplacian
+    lam = sum((2.0 * np.cos(2 * np.pi * f) - 2.0).reshape(
+        [-1 if i == ax else 1 for i in range(3)])
+        for ax, f in enumerate(freqs)) / (h * h)
+    lam[(0,) * 3] = 1.0
+    rhs_hat = np.fft.rfftn(rhs)
+    if smooth_voxels > 0:
+        k2 = sum((2 * np.pi * f).reshape(
+            [-1 if i == ax else 1 for i in range(3)]) ** 2
+            for ax, f in enumerate(freqs))
+        rhs_hat *= np.exp(-0.5 * smooth_voxels ** 2 * k2)
+    chi_hat = rhs_hat / lam
+    chi_hat[(0,) * 3] = 0.0
+    chi = np.fft.irfftn(chi_hat, s=tuple(dims),
+                        axes=(0, 1, 2)).astype(np.float32)
+
+    # iso-level: mean of chi at the samples (trilinear)
+    iso_num = 0.0
+    for corner in _CUBE_CORNERS:
+        w = np.prod(np.where(corner[None, :] == 1, frac, 1.0 - frac),
+                    axis=1)
+        vox = np.clip(g0 + corner[None, :], 0, dims - 1)
+        iso_num += np.sum(w * chi[vox[:, 0], vox[:, 1], vox[:, 2]])
+    iso = iso_num / len(points)
+    field = chi - np.float32(iso)
+
+    # density trimming: dilate the sample-density support a few voxels
+    # and NaN-mask the field outside it
+    try:
+        from scipy import ndimage
+        support = ndimage.maximum_filter(dens, size=2 * pad_voxels // 2 + 1)
+    except Exception:  # scipy-free fallback: axis-wise max dilation
+        support = dens
+        r = pad_voxels // 2
+        for ax in range(3):
+            stack = [np.roll(support, s, axis=ax)
+                     for s in range(-r, r + 1)]
+            support = np.maximum.reduce(stack)
+    thr = 0.0
+    if density_quantile and density_quantile > 0:
+        pos = dens[dens > 0]
+        if len(pos):
+            thr = float(np.quantile(pos, density_quantile))
+    field = np.where(support > thr, field, np.nan).astype(np.float32)
+    return marching_cubes(field, lo.astype(np.float64), voxel_size)
+
+
 def save_mesh_ply(filename, verts: np.ndarray, faces: np.ndarray) -> None:
     """Write a triangle mesh PLY (binary little endian)."""
     from pathlib import Path

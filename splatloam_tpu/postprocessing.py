@@ -209,14 +209,35 @@ def mesh_poisson(graph: ResultGraph, cfg: Configuration,
                  poisson_depth: int | None, poisson_width: float | None,
                  poisson_min_density: float | None, max_depth_dist: float,
                  use_median_depth: bool):
-    """Reference-compatible Poisson meshing (requires Open3D;
-    ref scene/postprocessing.py:94-216)."""
-    import open3d as o3d  # gated optional dependency
-
+    """Reference-compatible Poisson meshing (ref
+    scene/postprocessing.py:94-216).  Uses Open3D's octree
+    screened-Poisson when installed; otherwise the self-contained
+    FFT grid solver (eval.tsdf.poisson_grid) — the command works on a
+    bare TPU VM either way.  Returns (vertices, triangles) numpy arrays.
+    """
     pts, nrm = render_graph_points(
         graph, cfg, graph_directory, kf_interval=kf_interval,
         kf_samples=kf_samples, min_opacity=min_opacity,
         max_depth_dist=max_depth_dist, use_median_depth=use_median_depth)
+    try:
+        import open3d as o3d  # gated optional dependency
+    except ImportError:
+        from .eval.tsdf import MAX_VOXELS, poisson_grid
+        if poisson_width and poisson_width > 0:
+            voxel = float(poisson_width)
+        else:
+            extent = float((pts.max(0) - pts.min(0)).max()) if len(pts) \
+                else 1.0
+            voxel = extent / (2 ** (poisson_depth or 8))
+        # clamp so the padded dense grid stays within the voxel budget
+        if len(pts):
+            span = pts.max(0) - pts.min(0)
+            min_voxel = float(np.prod(span + 1e-3) ** (1 / 3)
+                              / (0.8 * MAX_VOXELS ** (1 / 3)))
+            voxel = max(voxel, min_voxel)
+        return poisson_grid(
+            pts, nrm, voxel_size=voxel,
+            density_quantile=poisson_min_density or 0.0)
     pcd = o3d.geometry.PointCloud()
     pcd.points = o3d.utility.Vector3dVector(pts)
     pcd.normals = o3d.utility.Vector3dVector(nrm)
@@ -234,5 +255,5 @@ def mesh_poisson(graph: ResultGraph, cfg: Configuration,
         densities = np.asarray(densities)
         mesh.remove_vertices_by_mask(
             densities < np.quantile(densities, poisson_min_density))
-    mesh.compute_vertex_normals()
-    return mesh
+    return (np.asarray(mesh.vertices),
+            np.asarray(mesh.triangles).astype(np.int32))

@@ -106,6 +106,12 @@ def test_cli_slam_mesh_eval(tmp_path, rng):
         "--trunc", "0.75")
     assert mesh_out.is_file()
 
+    # Poisson meshing (Open3D absent -> self-contained FFT grid solver)
+    mesh_psn = tmp_path / "mesh_poisson.ply"
+    run("mesh", str(rdir), "-o", str(mesh_psn), "--method", "poisson",
+        "--poisson-width", "0.25")
+    assert mesh_psn.is_file() and mesh_psn.stat().st_size > 1000
+
     # recon eval: mesh against the measured world cloud
     world = synthetic.scene_cloud_world(rng, n=20000)
     from splatloam_tpu.io.ply import write_ply
