@@ -59,6 +59,7 @@ def main():
     ap.add_argument("--height", type=int, default=64)
     ap.add_argument("--width", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=300)
+    ap.add_argument("--voxel", type=float, default=0.08)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke testing)")
     opts = ap.parse_args()
@@ -152,25 +153,43 @@ def main():
           flush=True)
 
     graph = ResultGraph.from_yaml(res / "graph.yaml")
-    verts, faces = mesh_tsdf(graph, cfg, res,
-                             voxel_size=0.15, trunc=0.45)
-    mesh_file = out / "mesh_tsdf.ply"
-    save_mesh_ply(mesh_file, verts, faces)
-    print(json.dumps({"stage": "mesh_tsdf", "vertices": int(len(verts)),
-                      "faces": int(len(faces))}), flush=True)
-
     obs_file = out / "ref_observed.ply"
     save_mesh_ply(obs_file, np.concatenate(observed).astype(np.float64),
                   np.empty((0, 3), np.int64))
-    for tag, ref in (("eval_recon_full_world", ref_file),
-                     ("eval_recon_observed", obs_file)):
-        metrics = evaluate_recon(ref, mesh_file,
-                                 down_sample_res=0.02, threshold=0.2,
-                                 truncation_acc=0.5, truncation_com=0.5,
-                                 mesh_sample_point=2_000_000)
-        metrics["stage"] = tag
-        metrics["device"] = str(jax.devices()[0])
-        print(json.dumps(metrics), flush=True)
+
+    from splatloam_tpu.postprocessing import mesh_poisson
+    meshes = {}
+    verts, faces = mesh_tsdf(graph, cfg, res,
+                             voxel_size=opts.voxel, trunc=3 * opts.voxel)
+    meshes["tsdf"] = (verts, faces)
+    try:
+        vp, fp = mesh_poisson(graph, cfg, res, kf_interval=-1,
+                              kf_samples=None, min_opacity=0.5,
+                              poisson_depth=None,
+                              poisson_width=opts.voxel,
+                              poisson_min_density=0.01,
+                              max_depth_dist=0.1, use_median_depth=False)
+        meshes["poisson"] = (vp, fp)
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({"stage": "mesh_poisson",
+                          "error": str(e)[:200]}), flush=True)
+
+    for method, (verts, faces) in meshes.items():
+        mesh_file = out / f"mesh_{method}.ply"
+        save_mesh_ply(mesh_file, verts, faces)
+        print(json.dumps({"stage": f"mesh_{method}",
+                          "vertices": int(len(verts)),
+                          "faces": int(len(faces))}), flush=True)
+        for tag, ref in (("full_world", ref_file),
+                         ("observed", obs_file)):
+            metrics = evaluate_recon(ref, mesh_file,
+                                     down_sample_res=0.02, threshold=0.2,
+                                     truncation_acc=0.5,
+                                     truncation_com=0.5,
+                                     mesh_sample_point=2_000_000)
+            metrics["stage"] = f"eval_recon_{method}_{tag}"
+            metrics["device"] = str(jax.devices()[0])
+            print(json.dumps(metrics), flush=True)
 
 
 if __name__ == "__main__":
