@@ -295,7 +295,8 @@ def cmd_eval_recon(args, extra) -> None:
         truncation_acc=args.truncation_acc,
         truncation_com=args.truncation_com,
         gt_bbox_mask_on=args.gt_bbox_mask,
-        mesh_sample_point=args.mesh_sample_point)
+        mesh_sample_point=args.mesh_sample_point,
+        generate_error_map=args.generate_error_map)
     row = {"mesh": Path(args.estimate).stem, "threshold": args.threshold,
            "truncation_acc": args.truncation_acc, **metrics}
     logger.info(row)
@@ -393,6 +394,10 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--truncation-com", type=float, default=0.5)
     r.add_argument("--gt-bbox-mask", action="store_true", default=True)
     r.add_argument("--mesh-sample-point", type=int, default=10_000_000)
+    r.add_argument("--generate-error-map", action="store_true",
+                   help="write a heat-colored accuracy-error PLY next to "
+                        "the estimate (stubbed NotImplementedError in the "
+                        "reference)")
     r.add_argument("--save", action="store_true", default=True)
     r.add_argument("--verbose", "-v", action="store_true")
     r.set_defaults(func=cmd_eval_recon)

@@ -138,10 +138,15 @@ def evaluate_recon(reference_filename: Path, estimate_filename: Path,
                    truncation_acc: float = 0.5, truncation_com: float = 0.5,
                    gt_bbox_mask_on: bool = True,
                    mesh_sample_point: int = 10_000_000,
-                   generate_error_map: bool = False) -> dict:
-    """Mesh-vs-reference-cloud metrics (ref utils/eval_utils.py:67-154)."""
-    if generate_error_map:
-        raise NotImplementedError("Error map not yet implemented.")
+                   generate_error_map: bool = False,
+                   error_map_filename=None) -> dict:
+    """Mesh-vs-reference-cloud metrics (ref utils/eval_utils.py:67-154).
+
+    ``generate_error_map`` (a NotImplementedError stub in the reference,
+    ref utils/eval_utils.py:93) is implemented here: the accuracy
+    distances are written as a heat-colored point cloud PLY next to the
+    estimate (or at ``error_map_filename``).
+    """
     logger.info(f"Opening estimate mesh {estimate_filename}")
     est_verts, est_faces = load_mesh(estimate_filename)
     logger.info(f"Opening reference cloud {reference_filename}")
@@ -168,6 +173,20 @@ def evaluate_recon(reference_filename: Path, estimate_filename: Path,
 
     dist_p = nn_correspondence(ref_verts, est_pcd, truncation_acc, True)
     dist_r = nn_correspondence(est_pcd, ref_verts, truncation_com, False)
+
+    if generate_error_map and len(est_pcd):
+        from ..io.ply import write_ply
+        out = Path(error_map_filename) if error_map_filename else \
+            Path(estimate_filename).with_suffix(".error_map.ply")
+        t = np.clip(np.asarray(dist_p) / max(threshold, 1e-9), 0.0, 1.0)
+        # blue (accurate) -> red (at/over threshold)
+        r = (255 * t).astype(np.uint8)
+        b = (255 * (1.0 - t)).astype(np.uint8)
+        g = (255 * (1.0 - np.abs(2 * t - 1.0))).astype(np.uint8)
+        write_ply(out, {"x": est_pcd[:, 0], "y": est_pcd[:, 1],
+                        "z": est_pcd[:, 2],
+                        "red": r, "green": g, "blue": b})
+        logger.info(f"Wrote error map to {out}")
 
     dist_p_mean = float(np.mean(dist_p)) if len(dist_p) else np.nan
     dist_r_mean = float(np.mean(dist_r)) if len(dist_r) else np.nan
