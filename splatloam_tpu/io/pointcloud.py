@@ -151,6 +151,8 @@ class PointCloudReader_ROSBAG(PointCloudReader):
             bags = sorted(folder.glob("*.bag"), key=natsort_key)
             if not bags:
                 bags = sorted(folder.glob("*.db3"), key=natsort_key)
+            if not bags:
+                bags = sorted(folder.glob("*.mcap"), key=natsort_key)
         logger.debug(f"Opening rosbags: {bags}")
         self._reader = BagSequenceReader(bags, config.rosbag_topic)
         self.n_clouds = self._reader.message_count

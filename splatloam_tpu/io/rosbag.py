@@ -324,6 +324,80 @@ class Ros2Bag:
             yield payload
 
 
+_MCAP_MAGIC = b"\x89MCAP0\r\n"
+
+
+class McapBag:
+    """ROS2 MCAP bag (.mcap) — linear-scan reader, no index required.
+
+    The reference reads these through the `rosbags` package's AnyReader;
+    this is the self-contained equivalent for CDR-encoded topics.
+    Supports uncompressed chunks natively and zstd/lz4 chunks when the
+    optional codecs are importable.  Messages are yielded in log-time
+    order (sorted; recorders write in order anyway).
+    """
+
+    def __init__(self, path: Path):
+        self.path = Path(path)
+        with open(self.path, "rb") as f:
+            buf = f.read()
+        if buf[:8] != _MCAP_MAGIC:
+            raise ValueError(f"{path} is not an MCAP file")
+        self._channels = {}          # id -> topic
+        self._messages = []          # (log_time, channel_id, payload)
+        self._scan_records(memoryview(buf)[8:])
+        self._messages.sort(key=lambda m: m[0])
+
+    @staticmethod
+    def _string(mv, o):
+        (n,) = struct.unpack_from("<I", mv, o)
+        return bytes(mv[o + 4:o + 4 + n]).decode(), o + 4 + n
+
+    def _scan_records(self, mv):
+        o = 0
+        while o + 9 <= len(mv):
+            op = mv[o]
+            (length,) = struct.unpack_from("<Q", mv, o + 1)
+            body = mv[o + 9:o + 9 + length]
+            if op == 0x04:                        # Channel
+                (cid,) = struct.unpack_from("<H", body, 0)
+                topic, _ = self._string(body, 4)  # skip schema_id u16
+                self._channels[cid] = topic
+            elif op == 0x05:                      # Message
+                (cid,) = struct.unpack_from("<H", body, 0)
+                (log_time,) = struct.unpack_from("<Q", body, 6)
+                self._messages.append((log_time, cid, bytes(body[22:])))
+            elif op == 0x06:                      # Chunk
+                (usize,) = struct.unpack_from("<Q", body, 16)
+                comp, co = self._string(body, 28)
+                (rlen,) = struct.unpack_from("<Q", body, co)
+                records = bytes(body[co + 8:co + 8 + rlen])
+                if comp == "zstd":
+                    import zstandard  # optional codec
+                    records = zstandard.ZstdDecompressor().decompress(
+                        records, max_output_size=usize)
+                elif comp == "lz4":
+                    import lz4.frame  # optional codec
+                    records = lz4.frame.decompress(records)
+                elif comp not in ("", "none"):
+                    raise ValueError(
+                        f"unsupported MCAP chunk compression {comp!r}")
+                self._scan_records(memoryview(records))
+            elif op == 0x02:                      # Footer: stop
+                return
+            o += 9 + length
+
+    def count_for_topic(self, topic: str) -> int:
+        ids = {c for c, t in self._channels.items() if t == topic}
+        return sum(1 for _, cid, _ in self._messages if cid in ids)
+
+    def messages(self, topic: str):
+        ids = {c for c, t in self._channels.items() if t == topic}
+        for _, cid, payload in self._messages:
+            if cid in ids:
+                yield payload
+
+
 class BagSequenceReader:
     """Iterate (xyz, timestamp) over PointCloud2 msgs across many bags."""
 
@@ -334,6 +408,8 @@ class BagSequenceReader:
             p = Path(p)
             if p.suffix == ".db3":
                 self.bags.append(("ros2", Ros2Bag(p)))
+            elif p.suffix == ".mcap":
+                self.bags.append(("ros2", McapBag(p)))
             else:
                 self.bags.append(("ros1", Ros1Bag(p)))
         self.message_count = sum(b.count_for_topic(topic)

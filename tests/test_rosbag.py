@@ -240,3 +240,79 @@ def test_rosbag_pointcloud_reader(tmp_path, rng):
     xyz, t = next(reader)
     assert xyz.shape == (100, 3)
     assert abs(t - 10.0) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# MCAP (modern ROS2 container; the reference reads these via rosbags)
+# ---------------------------------------------------------------------------
+
+def _mcap_record(op: int, body: bytes) -> bytes:
+    import struct
+    return bytes([op]) + struct.pack("<Q", len(body)) + body
+
+
+def _mcap_string(s: str) -> bytes:
+    import struct
+    b = s.encode()
+    return struct.pack("<I", len(b)) + b
+
+
+def write_mcap_bag(path, clouds, timestamps, topic="/points",
+                   chunked=False):
+    import struct
+    magic = b"\x89MCAP0\r\n"
+    recs = []
+    recs.append(_mcap_record(0x01, _mcap_string("ros2") +
+                             _mcap_string("test")))          # Header
+    schema = (struct.pack("<H", 1)
+              + _mcap_string("sensor_msgs/msg/PointCloud2")
+              + _mcap_string("ros2msg") + _mcap_string(""))
+    recs.append(_mcap_record(0x03, schema))                  # Schema
+    chan = (struct.pack("<HH", 1, 1) + _mcap_string(topic)
+            + _mcap_string("cdr") + struct.pack("<I", 0))
+    recs.append(_mcap_record(0x04, chan))                    # Channel
+    msgs = []
+    for xyz, ts in zip(clouds, timestamps):
+        sec, nsec = int(ts), int((ts - int(ts)) * 1e9)
+        payload = _cdr_pc2_payload(xyz, sec, nsec)
+        body = (struct.pack("<HIQQ", 1, 0, int(ts * 1e9), int(ts * 1e9))
+                + payload)
+        msgs.append(_mcap_record(0x05, body))                # Message
+    if chunked:
+        inner = b"".join(msgs)
+        chunk = (struct.pack("<QQQI", 0, 0, len(inner), 0)
+                 + _mcap_string("") + struct.pack("<Q", len(inner))
+                 + inner)
+        recs.append(_mcap_record(0x06, chunk))               # Chunk
+    else:
+        recs.extend(msgs)
+    recs.append(_mcap_record(0x0F, struct.pack("<I", 0)))    # DataEnd
+    recs.append(_mcap_record(0x02, struct.pack("<QQI", 0, 0, 0)))  # Footer
+    with open(path, "wb") as f:
+        f.write(magic + b"".join(recs) + magic)
+
+
+def test_mcap_bag_roundtrip(tmp_path, rng):
+    from splatloam_tpu.io.rosbag import McapBag, BagSequenceReader
+    clouds, stamps = _clouds(rng)
+    path = tmp_path / "seq.mcap"
+    write_mcap_bag(path, clouds, stamps)
+    bag = McapBag(path)
+    assert bag.count_for_topic("/points") == len(clouds)
+    reader = BagSequenceReader([path], "/points")
+    assert reader.message_count == len(clouds)
+    for (xyz, ts), ref_xyz, ref_ts in zip(reader, clouds, stamps):
+        np.testing.assert_allclose(xyz, ref_xyz, atol=1e-6)
+        assert abs(ts - ref_ts) < 1e-6
+
+
+def test_mcap_bag_chunked(tmp_path, rng):
+    from splatloam_tpu.io.rosbag import BagSequenceReader
+    clouds, stamps = _clouds(rng)
+    path = tmp_path / "seq.mcap"
+    write_mcap_bag(path, clouds, stamps, chunked=True)
+    reader = BagSequenceReader([path], "/points")
+    assert reader.message_count == len(clouds)
+    got = list(reader)
+    assert len(got) == len(clouds)
+    np.testing.assert_allclose(got[-1][0], clouds[-1], atol=1e-6)
