@@ -76,12 +76,10 @@ class Preprocessor:
 
         # one fused device program; toward-sensor normals are computed on
         # device, the optional PCA normal path stays host-side (scipy)
-        if pcfg.enable_normal_estimation:
+        if pcfg.enable_normal_estimation or \
+                pcfg.enable_ground_segmentation:
             normals = jnp.asarray(self.compute_normals(buf, mask))
         else:
-            if pcfg.enable_ground_segmentation:
-                raise NotImplementedError(
-                    "Ground segmentation still not implemented")
             normals = None
         K, depth, normal_img, valid = _preprocess_device(
             jnp.asarray(buf), jnp.asarray(mask),
@@ -106,10 +104,10 @@ class Preprocessor:
         norms = np.linalg.norm(cloud, axis=1, keepdims=True)
         toward = -cloud / np.maximum(norms, 1e-12)
         if not pcfg.enable_normal_estimation:
+            out = toward.astype(np.float32)
             if pcfg.enable_ground_segmentation:
-                raise NotImplementedError(
-                    "Ground segmentation still not implemented")
-            return toward.astype(np.float32)
+                out = self.segment_ground(cloud, mask, out)
+            return out
 
         from scipy.spatial import cKDTree
         pts = cloud[mask]
@@ -135,7 +133,42 @@ class Preprocessor:
         normal = normal * flip
         out = toward.copy()
         out[mask] = normal
+        out = out.astype(np.float32)
         if pcfg.enable_ground_segmentation:
-            raise NotImplementedError(
-                "Ground segmentation still not implemented")
-        return out.astype(np.float32)
+            out = self.segment_ground(cloud, mask, out)
+        return out
+
+    def segment_ground(self, cloud: np.ndarray, mask: np.ndarray,
+                       normals: np.ndarray,
+                       n_sectors: int = 64, ring_m: float = 2.0,
+                       dz: float = 0.15) -> np.ndarray:
+        """Assign up-facing (+z) normals to ground points — the intent the
+        reference documents but leaves as a TODO (ref
+        scene/preprocessing.py:93-117: "segment and assign up-facing
+        normals to the ground (pypatchworkpp)").
+
+        Patchwork-style simplification: a polar (sector x ring) grid keeps
+        each cell's lowest masked point as the local ground height; points
+        within ``dz`` of it — in cells whose floor lies near the global
+        ground level — are ground.
+        """
+        pts = np.asarray(cloud, np.float32)
+        z = pts[:, 2]
+        az = np.arctan2(pts[:, 1], pts[:, 0])
+        rad = np.hypot(pts[:, 0], pts[:, 1])
+        n_rings = max(int(np.ceil(rad[mask].max() / ring_m)) + 1, 1) \
+            if mask.any() else 1
+        sector = np.clip(((az + np.pi) / (2 * np.pi) * n_sectors)
+                         .astype(np.int64), 0, n_sectors - 1)
+        ring = np.clip((rad / ring_m).astype(np.int64), 0, n_rings - 1)
+        cell = sector * n_rings + ring
+        cell_min = np.full(n_sectors * n_rings, np.inf, np.float32)
+        np.minimum.at(cell_min, cell[mask], z[mask])
+        # cells whose floor is near the global ground level (rejects cells
+        # whose lowest return is a wall/ledge above the ground)
+        ground_z = np.percentile(z[mask], 5.0) if mask.any() else 0.0
+        cell_ok = cell_min <= ground_z + 4 * dz
+        ground = mask & cell_ok[cell] & (z <= cell_min[cell] + dz)
+        out = normals.copy()
+        out[ground] = (0.0, 0.0, 1.0)
+        return out

@@ -30,15 +30,32 @@ def test_pca_normals_path(tmp_path, rng):
     assert (dots > 0).mean() > 0.95
 
 
-def test_ground_segmentation_raises(tmp_path, rng):
+def test_ground_segmentation_up_normals(tmp_path, rng):
+    """Ground points get up-facing normals, walls keep theirs (the intent
+    the reference leaves as a TODO, ref scene/preprocessing.py:93-117)."""
     from splatloam_tpu.preprocessing import Preprocessor
     cfg = synthetic.make_config(
         tmp_path,
         preprocessing={"enable_normal_estimation": False,
                        "enable_ground_segmentation": True})
     pre = Preprocessor(cfg)
-    with pytest.raises(NotImplementedError):
-        pre(synthetic.sensor_cloud(rng, np.eye(4), n=1000), 0.0, np.eye(4))
+    n = 4000
+    th = rng.uniform(-np.pi, np.pi, n // 2)
+    wall = np.stack([8 * np.cos(th), 8 * np.sin(th),
+                     rng.uniform(-1.0, 2.0, n // 2)], -1)
+    gx = rng.uniform(-7, 7, n // 2)
+    gy = rng.uniform(-7, 7, n // 2)
+    ground = np.stack([gx, gy, np.full(n // 2, -1.5)
+                       + rng.normal(0, 0.01, n // 2)], -1)
+    cloud = np.concatenate([wall, ground]).astype(np.float32)
+    nrm = pre.compute_normals(cloud, np.ones(n, bool))
+    gz = nrm[n // 2:, 2]
+    wz = nrm[:n // 2, 2]
+    assert (gz > 0.99).mean() > 0.9, (gz > 0.99).mean()
+    assert (np.abs(wz) < 0.5).mean() > 0.9
+    # full pipeline runs without raising
+    frame = pre(cloud, 0.0, np.eye(4))
+    assert bool(np.asarray(frame.camera.valid).any())
 
 
 def test_checkpoint_multiple_submaps(tmp_path, rng):
