@@ -118,16 +118,22 @@ def build_tile_lists_sorted(packed: common.PackedSurfels, height: int,
             tile_id = tyy * tx + txx
             keys.append(jnp.where(ok, tile_id * (n + 1) + rank, big))
     all_keys = jnp.concatenate(keys)
-    sorted_keys = jnp.sort(all_keys)
+    # carry the ORIGINAL surfel ids through the sort as a value operand:
+    # a contiguous slice then replaces the (issue-bound) random
+    # `order[ranks]` gather of T*capacity rows the rank-decode needed
+    n_win = len(keys)
+    all_ids = jnp.broadcast_to(order[None, :].astype(jnp.int32),
+                               (n_win, n)).reshape(-1)
+    sorted_keys, sorted_ids = jax.lax.sort((all_keys, all_ids),
+                                           num_keys=1)
     starts = jnp.searchsorted(
         sorted_keys,
         jnp.arange(n_tiles + 1, dtype=jnp.int32) * (n + 1))
     counts = jnp.minimum(starts[1:] - starts[:-1], capacity)
     gidx = starts[:-1, None] + jnp.arange(capacity)[None, :]
     valid = jnp.arange(capacity)[None, :] < counts[:, None]
-    key_at = sorted_keys[jnp.minimum(gidx, all_keys.shape[0] - 1)]
-    ranks = key_at % (n + 1)
-    lists = jnp.where(valid, order[jnp.minimum(ranks, n - 1)], n)
+    ids_at = sorted_ids[jnp.minimum(gidx, all_keys.shape[0] - 1)]
+    lists = jnp.where(valid, ids_at, n)
     return lists.astype(jnp.int32), counts.astype(jnp.int32), order
 
 
