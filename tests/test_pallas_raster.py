@@ -235,3 +235,21 @@ def test_tile_list_overflow_drops_far(rng):
     d_ref = np.asarray(ref["depth_sum"])[sat]
     d_out = np.asarray(out["depth_sum"])[sat]
     np.testing.assert_allclose(d_out, d_ref, rtol=0.03)
+
+
+def test_two_tier_binning_matches_full_window(rng):
+    """Top-k two-tier window emission must produce the SAME tile lists as
+    the full cap window whenever the wide splats fit the top-k budget
+    (always true below 4096 surfels)."""
+    import bench as B
+    from splatloam_tpu.ops.rasterizer import binning, common
+    args = B.make_scene(rng, 2000, 16, 256)
+    packed = common.pack_surfels(*args)
+    kw = dict(height=16, width=256, tile_h=8, tile_w=32, capacity=512,
+              cap_ty=9, cap_tx=5)
+    l1, c1, _ = binning.build_tile_lists_sorted(packed, **kw,
+                                                two_tier=False)
+    l2, c2, _ = binning.build_tile_lists_sorted(packed, **kw,
+                                                two_tier=True)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
