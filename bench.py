@@ -159,7 +159,13 @@ def run_throughput(budget_s):
                          chunk=256, tile_h=8, tile_w=32,
                          tile_list_capacity=1024,
                          with_median=False, with_dist=False)
-    _run_stage("quick-20k", 20_000, 5, 1, small, final=False)
+    try:
+        _run_stage("quick-20k", 20_000, 5, 1, small, final=False)
+    except Exception as e:  # noqa: BLE001 — one retry for relay flakes
+        emit({"metric": "bench_note", "value": 0, "unit": "",
+              "note": f"quick stage failed once: {type(e).__name__}: "
+                      f"{e}; retrying"})
+        _run_stage("quick-20k", 20_000, 5, 1, small, final=False)
 
     # Stage 2: the headline 100k-surfel mapper block.  Skip only if the
     # remaining budget can't absorb a cold remote compile (~240 s) plus
