@@ -84,6 +84,93 @@ void read_files_batch(const char** paths, long n_files, uint8_t* buffer,
 // writes the xyz of points with  rmin < ||p|| <= rmax  to out, returns the
 // kept count.  One pass, no temporaries — the Python equivalent
 // materializes norms + a boolean mask + a gather.
+// LZ4 block decompression (raw block format; overlap-safe byte copies).
+static long lz4_block(const uint8_t* in, long in_len, uint8_t* out,
+                      long out_cap) {
+  const uint8_t* ip = in;
+  const uint8_t* iend = in + in_len;
+  uint8_t* op = out;
+  uint8_t* oend = out + out_cap;
+  while (ip < iend) {
+    unsigned token = *ip++;
+    long lit = token >> 4;
+    if (lit == 15) {
+      unsigned b;
+      do {
+        if (ip >= iend) return -1;
+        b = *ip++;
+        lit += b;
+      } while (b == 255);
+    }
+    if (ip + lit > iend || op + lit > oend) return -1;
+    std::memcpy(op, ip, lit);
+    ip += lit;
+    op += lit;
+    if (ip >= iend) break;  // last sequence: literals only
+    if (ip + 2 > iend) return -1;
+    long offset = (long)ip[0] | ((long)ip[1] << 8);
+    ip += 2;
+    if (offset == 0 || op - out < offset) return -1;
+    long mlen = token & 15;
+    if (mlen == 15) {
+      unsigned b;
+      do {
+        if (ip >= iend) return -1;
+        b = *ip++;
+        mlen += b;
+      } while (b == 255);
+    }
+    mlen += 4;
+    if (op + mlen > oend) return -1;
+    const uint8_t* src = op - offset;
+    for (long i = 0; i < mlen; ++i) op[i] = src[i];  // overlap-safe
+    op += mlen;
+  }
+  return op - out;
+}
+
+// LZ4 FRAME decompression (magic 0x184D2204; the format roslz4 and MCAP
+// chunks use).  Checksums are skipped (length-validated only).
+// Returns bytes written to out, or -1 on malformed input.
+long lz4_frame_decompress(const uint8_t* in, long in_len, uint8_t* out,
+                          long out_cap) {
+  const uint8_t* ip = in;
+  const uint8_t* iend = in + in_len;
+  if (in_len < 7) return -1;
+  uint32_t magic = (uint32_t)ip[0] | ((uint32_t)ip[1] << 8) |
+                   ((uint32_t)ip[2] << 16) | ((uint32_t)ip[3] << 24);
+  if (magic != 0x184D2204u) return -1;
+  ip += 4;
+  unsigned flg = *ip++;
+  ip++;  // BD byte
+  if ((flg >> 3) & 1) ip += 8;  // content size
+  ip++;                         // header checksum
+  int block_checksum = (flg >> 4) & 1;
+  uint8_t* op = out;
+  for (;;) {
+    if (ip + 4 > iend) return -1;
+    uint32_t bsize = (uint32_t)ip[0] | ((uint32_t)ip[1] << 8) |
+                     ((uint32_t)ip[2] << 16) | ((uint32_t)ip[3] << 24);
+    ip += 4;
+    if (bsize == 0) break;  // end mark
+    int stored = (bsize >> 31) & 1;
+    bsize &= 0x7FFFFFFFu;
+    if (ip + bsize > iend) return -1;
+    if (stored) {
+      if (op + bsize > out + out_cap) return -1;
+      std::memcpy(op, ip, bsize);
+      op += bsize;
+    } else {
+      long n = lz4_block(ip, (long)bsize, op, out + out_cap - op);
+      if (n < 0) return -1;
+      op += n;
+    }
+    ip += bsize;
+    if (block_checksum) ip += 4;
+  }
+  return op - out;
+}
+
 long filter_cloud_f32(const float* xyzi, long n, float rmin, float rmax,
                       float* out_xyz) {
   long kept = 0;

@@ -50,6 +50,10 @@ def _load():
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_long,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
             ctypes.POINTER(ctypes.c_long), ctypes.c_int]
+        lib.lz4_frame_decompress.restype = ctypes.c_long
+        lib.lz4_frame_decompress.argtypes = [
+            ctypes.c_char_p, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long]
         lib.filter_cloud_f32.restype = ctypes.c_long
         lib.filter_cloud_f32.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_long,
@@ -78,6 +82,80 @@ def lzf_decompress(data: bytes, expected: int) -> bytes:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), expected)
     if n < 0:
         raise ValueError("malformed LZF stream")
+    return out[:n].tobytes()
+
+
+def _lz4_block_py(data: bytes, out: bytearray) -> None:
+    ip, iend = 0, len(data)
+    while ip < iend:
+        token = data[ip]; ip += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = data[ip]; ip += 1
+                lit += b
+                if b != 255:
+                    break
+        out += data[ip:ip + lit]
+        ip += lit
+        if ip >= iend:
+            break
+        offset = data[ip] | (data[ip + 1] << 8)
+        ip += 2
+        mlen = token & 15
+        if mlen == 15:
+            while True:
+                b = data[ip]; ip += 1
+                mlen += b
+                if b != 255:
+                    break
+        mlen += 4
+        if offset == 0 or offset > len(out):
+            raise ValueError("malformed LZ4 block")
+        start = len(out) - offset
+        for i in range(mlen):          # overlap-safe byte copy
+            out.append(out[start + i])
+
+
+def _lz4_frame_py(data: bytes) -> bytes:
+    import struct
+    if len(data) < 7 or struct.unpack_from("<I", data)[0] != 0x184D2204:
+        raise ValueError("not an LZ4 frame")
+    ip = 4
+    flg = data[ip]; ip += 2              # FLG + BD
+    if (flg >> 3) & 1:
+        ip += 8                          # content size
+    ip += 1                              # header checksum
+    block_checksum = (flg >> 4) & 1
+    out = bytearray()
+    while True:
+        bsize = struct.unpack_from("<I", data, ip)[0]; ip += 4
+        if bsize == 0:
+            break
+        stored = bsize >> 31
+        bsize &= 0x7FFFFFFF
+        blk = data[ip:ip + bsize]; ip += bsize
+        if stored:
+            out += blk
+        else:
+            _lz4_block_py(blk, out)
+        if block_checksum:
+            ip += 4
+    return bytes(out)
+
+
+def lz4_frame_decompress(data: bytes, expected: int) -> bytes:
+    """LZ4 FRAME decode (roslz4 / MCAP chunk format); ``expected`` is the
+    known uncompressed size (both containers record it)."""
+    lib = _load()
+    if lib is None:
+        return _lz4_frame_py(data)
+    out = np.empty(max(expected, 1), np.uint8)
+    n = lib.lz4_frame_decompress(
+        data, len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(out))
+    if n < 0:
+        raise ValueError("malformed LZ4 frame")
     return out[:n].tobytes()
 
 

@@ -5,9 +5,10 @@ Replaces the ``rosbags`` package used at ref utils/pointcloud_utils.py:
 the reference consumes); the field->numpy-dtype mapping mirrors
 ref utils/pointcloud_utils.py:301-345 and the vendored ROS point_cloud2.py.
 
-ROS1 bags: sequential chunk walk (none/bz2 compression; lz4 gated on the
-optional lz4 package), message counts from ChunkInfo records so __len__ is
-cheap.  ROS2 bags: sqlite3 (stdlib) + a minimal CDR deserializer.
+ROS1 bags: sequential chunk walk (none/bz2/lz4 chunk compression — LZ4
+frames decoded by the native library or its pure-python fallback),
+message counts from ChunkInfo records so __len__ is cheap.  ROS2 bags:
+sqlite3 (stdlib) + a minimal CDR deserializer, and MCAP containers.
 """
 from __future__ import annotations
 
@@ -279,13 +280,14 @@ class Ros1Bag:
                 if compression == "bz2":
                     data = bz2.decompress(data)
                 elif compression == "lz4":
-                    try:
-                        import lz4.frame
-                        data = lz4.frame.decompress(data)
-                    except ImportError as e:
-                        raise RuntimeError(
-                            "lz4-compressed bag needs the lz4 package"
-                        ) from e
+                    # roslz4 writes LZ4 frames; decode with the native/
+                    # pure-python implementation (no lz4 package needed)
+                    from .native import lz4_frame_decompress
+                    expected = int(header.get("size", b"0") and
+                                   struct.unpack(
+                                       "<I", header["size"])[0])
+                    data = lz4_frame_decompress(data, expected
+                                                or 4 * len(data))
                 pos = 0
                 while pos < len(data):
                     hlen = struct.unpack_from("<I", data, pos)[0]
@@ -377,8 +379,8 @@ class McapBag:
                     records = zstandard.ZstdDecompressor().decompress(
                         records, max_output_size=usize)
                 elif comp == "lz4":
-                    import lz4.frame  # optional codec
-                    records = lz4.frame.decompress(records)
+                    from .native import lz4_frame_decompress
+                    records = lz4_frame_decompress(records, usize)
                 elif comp not in ("", "none"):
                     raise ValueError(
                         f"unsupported MCAP chunk compression {comp!r}")

@@ -65,3 +65,52 @@ def test_filter_cloud(rng):
     r2 = np.sum(xyz * xyz, axis=1)
     ok = np.isfinite(r2) & (r2 > 4.0) & (r2 <= 625.0)
     assert len(out) == int(ok.sum())
+
+
+# ---------------------------------------------------------------------------
+# LZ4 frame decoding (roslz4 / MCAP chunk format)
+# ---------------------------------------------------------------------------
+
+def _lz4_frame_literals(payload: bytes) -> bytes:
+    """Minimal valid LZ4 frame holding `payload` as one STORED block."""
+    import struct
+    head = struct.pack("<I", 0x184D2204) + bytes([0x40, 0x40, 0x00])
+    block = struct.pack("<I", 0x80000000 | len(payload)) + payload
+    return head + block + struct.pack("<I", 0)
+
+
+def _lz4_frame_compressed_block(block: bytes) -> bytes:
+    import struct
+    head = struct.pack("<I", 0x184D2204) + bytes([0x40, 0x40, 0x00])
+    return head + struct.pack("<I", len(block)) + block + \
+        struct.pack("<I", 0)
+
+
+def test_lz4_frame_stored_roundtrip(rng):
+    payload = rng.integers(0, 256, 5000, dtype=np.uint8).tobytes()
+    frame = _lz4_frame_literals(payload)
+    assert native.lz4_frame_decompress(frame, len(payload)) == payload
+    assert native._lz4_frame_py(frame) == payload
+
+
+def test_lz4_frame_match_block():
+    """Hand-crafted block with a back-reference: 'abcd' x 5 encoded as a
+    4-literal sequence + a match of 12 at offset 4, then a 4-literal
+    tail (LZ4 requires the last sequence literal-only)."""
+    # token: lit=4, matchlen=12-4=8 -> 0x48; literals 'abcd'; offset 4
+    block = bytes([0x48]) + b"abcd" + bytes([0x04, 0x00])
+    # tail: token lit=4, no match; literals 'abcd'
+    block += bytes([0x40]) + b"abcd"
+    frame = _lz4_frame_compressed_block(block)
+    expected = b"abcd" * 5
+    assert native.lz4_frame_decompress(frame, len(expected)) == expected
+    assert native._lz4_frame_py(frame) == expected
+
+
+def test_lz4_frame_native_matches_python(rng):
+    if not native.available():
+        pytest.skip("native library unavailable")
+    payload = bytes(rng.integers(0, 4, 3000, dtype=np.uint8))  # repetitive
+    frame = _lz4_frame_literals(payload)
+    assert native.lz4_frame_decompress(frame, len(payload)) == \
+        native._lz4_frame_py(frame)

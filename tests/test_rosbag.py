@@ -75,6 +75,11 @@ def write_ros1_bag(path, clouds, timestamps, topic="/points",
             _ros1_pc2_payload(xyz, sec, nsec))
     if compression == "bz2":
         comp = bz2.compress(chunk_payload)
+    elif compression == "lz4":
+        # minimal valid LZ4 frame: one stored block (roslz4-compatible)
+        comp = (struct.pack("<I", 0x184D2204) + bytes([0x40, 0x40, 0x00])
+                + struct.pack("<I", 0x80000000 | len(chunk_payload))
+                + chunk_payload + struct.pack("<I", 0))
     else:
         comp = chunk_payload
     with open(path, "wb") as f:
@@ -194,6 +199,17 @@ def test_ros1_bag_bz2(tmp_path, rng):
     clouds, ts = _clouds(rng, n_msgs=2)
     path = tmp_path / "test_bz2.bag"
     write_ros1_bag(path, clouds, ts, compression="bz2")
+    reader = BagSequenceReader([path], "/points")
+    assert reader.message_count == 2
+    out = list(reader)
+    np.testing.assert_allclose(out[0][0], clouds[0], rtol=1e-6)
+    np.testing.assert_allclose(out[1][0], clouds[1], rtol=1e-6)
+
+
+def test_ros1_bag_lz4(tmp_path, rng):
+    clouds, ts = _clouds(rng, n_msgs=2)
+    path = tmp_path / "test_lz4.bag"
+    write_ros1_bag(path, clouds, ts, compression="lz4")
     reader = BagSequenceReader([path], "/points")
     assert reader.message_count == 2
     out = list(reader)
