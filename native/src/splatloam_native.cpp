@@ -142,8 +142,10 @@ long lz4_frame_decompress(const uint8_t* in, long in_len, uint8_t* out,
   if (magic != 0x184D2204u) return -1;
   ip += 4;
   unsigned flg = *ip++;
+  if (((flg >> 6) & 3) != 1) return -1;  // version bits must be 01
   ip++;  // BD byte
   if ((flg >> 3) & 1) ip += 8;  // content size
+  if (flg & 1) ip += 4;         // dictionary ID
   ip++;                         // header checksum
   int block_checksum = (flg >> 4) & 1;
   uint8_t* op = out;

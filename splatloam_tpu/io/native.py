@@ -123,8 +123,12 @@ def _lz4_frame_py(data: bytes) -> bytes:
         raise ValueError("not an LZ4 frame")
     ip = 4
     flg = data[ip]; ip += 2              # FLG + BD
+    if ((flg >> 6) & 3) != 1:
+        raise ValueError("unsupported LZ4 frame version")
     if (flg >> 3) & 1:
         ip += 8                          # content size
+    if flg & 1:
+        ip += 4                          # dictionary ID
     ip += 1                              # header checksum
     block_checksum = (flg >> 4) & 1
     out = bytearray()

@@ -283,9 +283,8 @@ class Ros1Bag:
                     # roslz4 writes LZ4 frames; decode with the native/
                     # pure-python implementation (no lz4 package needed)
                     from .native import lz4_frame_decompress
-                    expected = int(header.get("size", b"0") and
-                                   struct.unpack(
-                                       "<I", header["size"])[0])
+                    expected = (struct.unpack("<I", header["size"])[0]
+                                if "size" in header else 0)
                     data = lz4_frame_decompress(data, expected
                                                 or 4 * len(data))
                 pos = 0
@@ -341,21 +340,49 @@ class McapBag:
 
     def __init__(self, path: Path):
         self.path = Path(path)
-        with open(self.path, "rb") as f:
-            buf = f.read()
-        if buf[:8] != _MCAP_MAGIC:
+        import mmap
+        self._fh = open(self.path, "rb")
+        if self._fh.read(8) != _MCAP_MAGIC:
+            self._fh.close()
             raise ValueError(f"{path} is not an MCAP file")
+        self._mm = memoryview(mmap.mmap(self._fh.fileno(), 0,
+                                        access=mmap.ACCESS_READ))
         self._channels = {}          # id -> topic
-        self._messages = []          # (log_time, channel_id, payload)
-        self._scan_records(memoryview(buf)[8:])
-        self._messages.sort(key=lambda m: m[0])
+        # (log_time, channel_id, chunk_locator | None, payload_off, len):
+        # the index holds offsets only — payloads (and chunk contents) are
+        # decoded on demand in messages(), with a one-chunk cache, so a
+        # multi-GB bag costs O(index) host RAM, not O(file).
+        self._index = []
+        self._chunk_cache = (None, b"")
+        self._scan_top()
+        self._index.sort(key=lambda m: m[0])
 
     @staticmethod
     def _string(mv, o):
         (n,) = struct.unpack_from("<I", mv, o)
         return bytes(mv[o + 4:o + 4 + n]).decode(), o + 4 + n
 
-    def _scan_records(self, mv):
+    @staticmethod
+    def _decode_chunk(body):
+        (usize,) = struct.unpack_from("<Q", body, 16)
+        comp, co = McapBag._string(body, 28)
+        (rlen,) = struct.unpack_from("<Q", body, co)
+        records = bytes(body[co + 8:co + 8 + rlen])
+        if comp == "zstd":
+            import zstandard  # optional codec
+            records = zstandard.ZstdDecompressor().decompress(
+                records, max_output_size=usize)
+        elif comp == "lz4":
+            from .native import lz4_frame_decompress
+            records = lz4_frame_decompress(records, usize)
+        elif comp not in ("", "none"):
+            raise ValueError(
+                f"unsupported MCAP chunk compression {comp!r}")
+        return records
+
+    def _scan_messages(self, mv, chunk_loc, base):
+        """Index Channel/Message records in ``mv``; payload offsets are
+        relative to the file (chunk_loc None) or the decompressed chunk."""
         o = 0
         while o + 9 <= len(mv):
             op = mv[o]
@@ -368,36 +395,37 @@ class McapBag:
             elif op == 0x05:                      # Message
                 (cid,) = struct.unpack_from("<H", body, 0)
                 (log_time,) = struct.unpack_from("<Q", body, 6)
-                self._messages.append((log_time, cid, bytes(body[22:])))
-            elif op == 0x06:                      # Chunk
-                (usize,) = struct.unpack_from("<Q", body, 16)
-                comp, co = self._string(body, 28)
-                (rlen,) = struct.unpack_from("<Q", body, co)
-                records = bytes(body[co + 8:co + 8 + rlen])
-                if comp == "zstd":
-                    import zstandard  # optional codec
-                    records = zstandard.ZstdDecompressor().decompress(
-                        records, max_output_size=usize)
-                elif comp == "lz4":
-                    from .native import lz4_frame_decompress
-                    records = lz4_frame_decompress(records, usize)
-                elif comp not in ("", "none"):
-                    raise ValueError(
-                        f"unsupported MCAP chunk compression {comp!r}")
-                self._scan_records(memoryview(records))
+                self._index.append((log_time, cid, chunk_loc,
+                                    base + o + 9 + 22, length - 22))
+            elif op == 0x06 and chunk_loc is None:  # Chunk
+                loc = (base + o + 9, length)
+                records = self._decode_chunk(body)
+                self._scan_messages(memoryview(records), loc, 0)
             elif op == 0x02:                      # Footer: stop
                 return
             o += 9 + length
 
+    def _scan_top(self):
+        self._scan_messages(self._mm[8:], None, 8)
+
+    def _chunk_records(self, loc):
+        if self._chunk_cache[0] != loc:
+            off, length = loc
+            body = self._mm[off:off + length]
+            self._chunk_cache = (loc, self._decode_chunk(body))
+        return self._chunk_cache[1]
+
     def count_for_topic(self, topic: str) -> int:
         ids = {c for c, t in self._channels.items() if t == topic}
-        return sum(1 for _, cid, _ in self._messages if cid in ids)
+        return sum(1 for _, cid, *_ in self._index if cid in ids)
 
     def messages(self, topic: str):
         ids = {c for c, t in self._channels.items() if t == topic}
-        for _, cid, payload in self._messages:
-            if cid in ids:
-                yield payload
+        for _, cid, loc, off, length in self._index:
+            if cid not in ids:
+                continue
+            buf = self._mm if loc is None else self._chunk_records(loc)
+            yield bytes(buf[off:off + length])
 
 
 class BagSequenceReader:

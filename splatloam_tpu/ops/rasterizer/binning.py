@@ -82,11 +82,12 @@ def build_tile_lists_sorted(packed: common.PackedSurfels, height: int,
     truncated — at sigma_cut=3 the truncated periphery is below the 1/255
     alpha cutoff for all but degenerately close splats.
 
-    ``two_tier``: only the top-k largest-radius surfels emit the windows
-    beyond the inner 3x3 (small splats can't overlap tiles two away), so
-    the sort sees ~4x fewer candidate keys; splats past the top-k budget
-    (max(n/16, 256)) truncate at the 3x3 reach — strictly more coverage
-    than cap_ty=cap_tx=3 and usually identical to the full window.
+    ``two_tier``: only surfels whose radius reaches beyond the inner 3x3
+    (r > min(tile)-0.5) emit the outer windows, radius-prioritized under a
+    static budget of max(n/8, 256), so the sort sees ~4x fewer candidate
+    keys; needing splats past the budget truncate at the 3x3 reach —
+    strictly more coverage than cap_ty=cap_tx=3 and identical to the full
+    window unless >n/8 splats genuinely span >3 tiles.
     """
     n = packed.depth.shape[0]
     ty = height // tile_h
@@ -140,10 +141,18 @@ def build_tile_lists_sorted(packed: common.PackedSurfels, height: int,
                                     rank))
             ids.append(ids_all)
     if use_two_tier:
-        k_big = min(n, max(256, n // 16))
-        _, bidx = jax.lax.top_k(r, k_big)
+        # Tier-2 membership is by RADIUS THRESHOLD — a splat needs windows
+        # beyond the inner 3x3 only if its radius can reach a tile two
+        # away, i.e. r > min(tile_h, tile_w) - 0.5 (conservative).  top_k
+        # prioritizes by radius within a static budget; splats that don't
+        # need wide windows no longer consume slots, and the budget is
+        # doubled (n//8), so silent 3x3 truncation now needs >n/8 splats
+        # that GENUINELY span >3 tiles (vs n/16 of merely-largest before).
+        needs_wide = r > (min(tile_h, tile_w) - 0.5)
+        k_big = min(n, max(256, n // 8))
+        _, bidx = jax.lax.top_k(jnp.where(needs_wide, r, -1.0), k_big)
         cxb, cyb, rb = cx[bidx], cy[bidx], r[bidx]
-        aliveb = alive[bidx]
+        aliveb = alive[bidx] & needs_wide[bidx]
         tcxb, tcyb = tcx[bidx], tcy[bidx]
         idb = ids_all[bidx]
         for dy in range(-(cap_ty // 2), cap_ty - cap_ty // 2):

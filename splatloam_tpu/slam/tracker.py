@@ -126,8 +126,12 @@ def gauss_newton_align(T_init,
         dx = -jnp.linalg.solve(H, b)
         ok_solve = jnp.all(jnp.isfinite(dx)) & (jnp.sum(ok) >= 6)
         dx = jnp.where(ok_solve, dx, 0.0)
-        return (i + 1, se3.exp_se3(dx) @ T,
-                jnp.linalg.norm(dx))
+        # A failed solve must NOT read as "converged" (dx=0): report +inf
+        # step norm so the loop keeps iterating and later (tighter-gate)
+        # iterations can recover the alignment.
+        dx_norm = jnp.where(ok_solve, jnp.linalg.norm(dx),
+                            jnp.float32(jnp.inf))
+        return (i + 1, se3.exp_se3(dx) @ T, dx_norm)
 
     _, T, _ = jax.lax.while_loop(
         cond, body, (jnp.int32(0), T_init, jnp.float32(jnp.inf)))
