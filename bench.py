@@ -141,38 +141,77 @@ def _run_stage(name, n_surfels, iters, rebin, params, final):
     return rays_per_s
 
 
+_FORCE_CPU = False  # set by --force-cpu (the re-exec fallback below)
+
+
+def _probe_backend(timeout_s):
+    """Ask a SUBPROCESS which backend comes up.  The axon relay's failure
+    mode is a HANG inside PJRT client creation (observed 20+ min), not an
+    exception — an in-process call can never time out of that, so the
+    liveness check must be killable from outside."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, sys; sys.stdout.write(jax.default_backend())"],
+            capture_output=True, text=True, timeout=timeout_s)
+        out = (r.stdout or "").strip()
+        return out if r.returncode == 0 and out else None
+    except subprocess.TimeoutExpired:
+        return None
+
+
+def _reexec_cpu():
+    """Replace this process with a --force-cpu run (clean interpreter:
+    no half-initialized axon client state to fight)."""
+    argv = [sys.executable, os.path.abspath(__file__), "--force-cpu"]
+    for a in sys.argv[1:]:
+        if a != "--force-cpu":
+            argv.append(a)
+    os.execv(sys.executable, argv)
+
+
 def _backend_up(budget_s, share=0.75):
     """Bring the JAX backend up, retrying while the axon relay recovers.
 
     The relay can be down for minutes (or hours after a bad compile kills
-    it); jax does NOT cache init failures, so calling jax.default_backend()
-    again retries from scratch.  Spend up to ``share`` of the bench budget
-    waiting, then fall back to CPU so the run still lands a (clearly
+    it), and a dead relay HANGS backend init rather than raising.  Probe
+    liveness in killable subprocesses, spending up to ``share`` of the
+    bench budget; only init in-process once a probe succeeds.  Past the
+    deadline, re-exec with --force-cpu so the run still lands a (clearly
     labelled) number instead of rc!=0.
     """
     import jax
 
+    if _FORCE_CPU:
+        return jax.default_backend()
+
     deadline = max(60.0, budget_s * share)
     attempt = 0
     while True:
-        try:
-            return jax.default_backend()
-        except Exception as e:  # noqa: BLE001 — relay outage
-            attempt += 1
-            left = deadline - _elapsed()
-            if left <= 0:
+        left = deadline - _elapsed()
+        if left <= 0:
+            emit({"metric": "bench_note", "value": 0, "unit": "",
+                  "note": f"backend probe failed {attempt}x over "
+                          f"{_elapsed():.0f}s; re-exec with CPU fallback"})
+            _reexec_cpu()
+        attempt += 1
+        got = _probe_backend(min(90.0, max(30.0, left)))
+        if got is not None:
+            if attempt > 1:
                 emit({"metric": "bench_note", "value": 0, "unit": "",
-                      "note": f"backend init failed {attempt}x over "
-                              f"{_elapsed():.0f}s ({type(e).__name__}); "
-                              "falling back to CPU"})
-                jax.config.update("jax_platforms", "cpu")
+                      "note": f"backend '{got}' up after {attempt} probes "
+                              f"({_elapsed():.0f}s)"})
+            # the relay answers: in-process init is now expected to
+            # return promptly (and its failure mode is an exception we
+            # can retry, not the dead-relay hang)
+            try:
                 return jax.default_backend()
-            if attempt <= 2 or attempt % 5 == 0:
+            except Exception as e:  # noqa: BLE001 — relay flaked again
                 emit({"metric": "bench_note", "value": 0, "unit": "",
-                      "note": f"backend init attempt {attempt} failed "
-                              f"({type(e).__name__}); retrying for up to "
-                              f"{left:.0f}s more"})
-            time.sleep(min(20.0, max(2.0, left * 0.05)))
+                      "note": f"init failed after probe ok "
+                              f"({type(e).__name__}: {e}); re-probing"})
+        time.sleep(min(20.0, max(2.0, left * 0.05)))
 
 
 def run_throughput(budget_s):
@@ -340,7 +379,16 @@ def main():
     ap.add_argument("--budget", type=float,
                     default=float(os.environ.get("BENCH_BUDGET_S", "480")))
     ap.add_argument("--parity", action="store_true")
+    ap.add_argument("--force-cpu", action="store_true",
+                    help="skip the TPU entirely (set on re-exec when the "
+                         "relay stays down past the probe deadline)")
     opts = ap.parse_args()
+
+    if opts.force_cpu:
+        global _FORCE_CPU
+        _FORCE_CPU = True
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from splatloam_tpu.cli import _enable_compilation_cache
     _enable_compilation_cache()
