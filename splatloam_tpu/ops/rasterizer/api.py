@@ -37,7 +37,7 @@ class RenderParams(NamedTuple):
     # coverage via per-tile scatter; used by parity tests)
     binner: str = "sorted"
     cap_ty: int = 9
-    cap_tx: int = 5
+    cap_tx: int = 9
 
 
 def _resolve_backend(backend: str) -> str:

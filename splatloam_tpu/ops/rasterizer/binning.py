@@ -38,8 +38,9 @@ def build_tile_lists(packed: common.PackedSurfels, height: int, width: int,
     order = jnp.argsort(sort_key)
     cx = packed.center_xy[order, 0]
     cy = packed.center_xy[order, 1]
-    r = packed.radius_px[order]
-    alive = r > 0
+    rx = packed.extent_px[order, 0]
+    ry = packed.extent_px[order, 1]
+    alive = packed.radius_px[order] > 0
 
     # tile centers in continuous pixel coordinates (pixel u center = u-0.5)
     tile_cx = (jnp.arange(tx) * tile_w + tile_w / 2.0 - 0.5)
@@ -48,9 +49,9 @@ def build_tile_lists(packed: common.PackedSurfels, height: int, width: int,
     # overlap tests: [T_axis, N]
     dx = cx[None, :] - tile_cx[:, None]
     dx = dx - jnp.round(dx / width) * width          # azimuth wrap
-    ox = jnp.abs(dx) <= (r[None, :] + tile_w / 2.0)  # [tx, N]
+    ox = jnp.abs(dx) <= (rx[None, :] + tile_w / 2.0)  # [tx, N]
     dy = cy[None, :] - tile_cy[:, None]
-    oy = jnp.abs(dy) <= (r[None, :] + tile_h / 2.0)  # [ty, N]
+    oy = jnp.abs(dy) <= (ry[None, :] + tile_h / 2.0)  # [ty, N]
 
     mask = (oy[:, None, :] & ox[None, :, :] &
             alive[None, None, :]).reshape(n_tiles, n)
@@ -71,23 +72,29 @@ def build_tile_lists(packed: common.PackedSurfels, height: int, width: int,
                                    "two_tier"))
 def build_tile_lists_sorted(packed: common.PackedSurfels, height: int,
                             width: int, tile_h: int, tile_w: int,
-                            capacity: int, cap_ty: int = 5,
-                            cap_tx: int = 5, two_tier: bool = True):
+                            capacity: int, cap_ty: int = 9,
+                            cap_tx: int = 9, two_tier: bool = True):
     """Sort-based tile lists: ~2x faster than the scatter formulation.
 
-    Capped duplicate expansion (each surfel emits up to cap_ty*cap_tx
-    candidate tiles around its center tile, exact overlap-tested), ONE
-    global sort of (tile_id, depth_rank) keys, then segment starts via
-    searchsorted + a single gather.  Coverage beyond the cap window is
-    truncated — at sigma_cut=3 the truncated periphery is below the 1/255
-    alpha cutoff for all but degenerately close splats.
+    Tiered capped duplicate expansion, ONE global sort of (tile_id,
+    depth_rank) keys, then segment starts via searchsorted + a gather:
 
-    ``two_tier``: only surfels whose radius reaches beyond the inner 3x3
-    (r > min(tile)-0.5) emit the outer windows, radius-prioritized under a
-    static budget of max(n/8, 256), so the sort sees ~4x fewer candidate
-    keys; needing splats past the budget truncate at the 3x3 reach —
-    strictly more coverage than cap_ty=cap_tx=3 and identical to the full
-    window unless >n/8 splats genuinely span >3 tiles.
+      tier 1: every surfel emits its 3x3 window (exact overlap-tested with
+              the per-axis extents, so most die before the sort);
+      tier 2: surfels whose extent can reach beyond the 3x3 guarantee
+              (rx > tile_w or ry > tile_h) emit the cap_ty x cap_tx window,
+              need-prioritized under a static budget of max(256, n/16);
+      tier 3: surfels reaching beyond tier 2's guarantee emit a
+              full-height x min(tx, 33) window, budget max(64, n/256) —
+              at 1024-wide/32-tile images that window spans the whole
+              panorama, so coverage is complete for any extent.
+
+    A window of half-width k tiles GUARANTEES coverage of extents up to
+    k*tile (worst-case center at a tile edge); the tier thresholds use
+    exactly that, so truncation needs MORE than a budget's worth of splats
+    genuinely spanning past the previous tier.  ``two_tier=False`` gives
+    every surfel the tier-3 window (the coverage oracle for tests; key
+    count explodes, test-sized scenes only).
     """
     n = packed.depth.shape[0]
     ty = height // tile_h
@@ -99,19 +106,15 @@ def build_tile_lists_sorted(packed: common.PackedSurfels, height: int,
     order = jnp.argsort(sort_key)
     cx = packed.center_xy[order, 0]
     cy = packed.center_xy[order, 1]
-    r = packed.radius_px[order]
-    alive = r > 0
+    rx = packed.extent_px[order, 0]
+    ry = packed.extent_px[order, 1]
+    alive = packed.radius_px[order] > 0
     tcx = jnp.floor((cx + 1.0) / tile_w).astype(jnp.int32)
     tcy = jnp.floor((cy + 1.0) / tile_h).astype(jnp.int32)
     rank = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
     big = jnp.iinfo(jnp.int32).max
 
-    # clamp the x-window to the column count: a wider modular window would
-    # visit the same column twice and double-composite surfels (rows have
-    # no wraparound — their bounds check suffices and never duplicates)
-    eff_tx = min(cap_tx, tx)
-
-    def window_keys(dy, dx, cx, cy, r, alive, tcx, tcy, rank):
+    def window_keys(dy, dx, cx, cy, rx, ry, alive, tcx, tcy, rank):
         tyy = tcy + dy
         txx = jnp.mod(tcx + dx, tx)
         ccx = txx.astype(jnp.float32) * tile_w + tile_w / 2.0 - 0.5
@@ -120,48 +123,58 @@ def build_tile_lists_sorted(packed: common.PackedSurfels, height: int,
         ddx = ddx - jnp.round(ddx / width) * width
         ddy = cy - ccy
         ok = (alive & (tyy >= 0) & (tyy < ty)
-              & (jnp.abs(ddx) <= r + tile_w / 2.0)
-              & (jnp.abs(ddy) <= r + tile_h / 2.0))
+              & (jnp.abs(ddx) <= rx + tile_w / 2.0)
+              & (jnp.abs(ddy) <= ry + tile_h / 2.0))
         tile_id = tyy * tx + txx
         return jnp.where(ok, tile_id * (n + 1) + rank, big)
 
-    sty = min(3, cap_ty)
-    stx = min(3, eff_tx)
-    small_dys = range(-(sty // 2), sty - sty // 2)
-    small_dxs = range(-(stx // 2), stx - stx // 2)
-    use_two_tier = two_tier and cap_ty * eff_tx > sty * stx
+    def emit_window(w_ty, w_tx, skip_ty, skip_tx, args, keys, ids):
+        """Emit (w_ty x w_tx) window offsets minus the inner skip window."""
+        cx, cy, rx, ry, alive, tcx, tcy, rank, idv = args
+        for dy in range(-(w_ty // 2), w_ty - w_ty // 2):
+            for dx in range(-(w_tx // 2), w_tx - w_tx // 2):
+                if (skip_ty and skip_tx and abs(dy) <= skip_ty // 2
+                        and abs(dx) <= skip_tx // 2):
+                    continue
+                keys.append(window_keys(dy, dx, cx, cy, rx, ry, alive,
+                                        tcx, tcy, rank))
+                ids.append(idv)
+
+    def top_need(needs, score, budget):
+        """Static-budget need-prioritized subset -> gathered args."""
+        k = min(n, budget)
+        _, bidx = jax.lax.top_k(jnp.where(needs, score, -1.0), k)
+        return (cx[bidx], cy[bidx], rx[bidx], ry[bidx],
+                alive[bidx] & needs[bidx], tcx[bidx], tcy[bidx],
+                bidx, ids_all[bidx])
+
+    # clamp x-windows to the column count: a wider modular window would
+    # visit the same column twice and double-composite surfels (rows have
+    # no wraparound — their bounds check suffices and never duplicates)
+    w2_ty, w2_tx = min(cap_ty, 2 * ty - 1), min(cap_tx, tx)
+    w3_ty, w3_tx = min(2 * ty - 1, 33), min(33, tx)
+    # normalized need (tiles of reach past the center tile)
+    score = jnp.maximum(rx * (1.0 / tile_w), ry * (1.0 / tile_h))
 
     keys, ids = [], []
     ids_all = order.astype(jnp.int32)
-    for dy in range(-(cap_ty // 2), cap_ty - cap_ty // 2):
-        for dx in range(-(eff_tx // 2), eff_tx - eff_tx // 2):
-            if use_two_tier and not (dy in small_dys and dx in small_dxs):
-                continue
-            keys.append(window_keys(dy, dx, cx, cy, r, alive, tcx, tcy,
-                                    rank))
-            ids.append(ids_all)
-    if use_two_tier:
-        # Tier-2 membership is by RADIUS THRESHOLD — a splat needs windows
-        # beyond the inner 3x3 only if its radius can reach a tile two
-        # away, i.e. r > min(tile_h, tile_w) - 0.5 (conservative).  top_k
-        # prioritizes by radius within a static budget; splats that don't
-        # need wide windows no longer consume slots, and the budget is
-        # doubled (n//8), so silent 3x3 truncation now needs >n/8 splats
-        # that GENUINELY span >3 tiles (vs n/16 of merely-largest before).
-        needs_wide = r > (min(tile_h, tile_w) - 0.5)
-        k_big = min(n, max(256, n // 8))
-        _, bidx = jax.lax.top_k(jnp.where(needs_wide, r, -1.0), k_big)
-        cxb, cyb, rb = cx[bidx], cy[bidx], r[bidx]
-        aliveb = alive[bidx] & needs_wide[bidx]
-        tcxb, tcyb = tcx[bidx], tcy[bidx]
-        idb = ids_all[bidx]
-        for dy in range(-(cap_ty // 2), cap_ty - cap_ty // 2):
-            for dx in range(-(eff_tx // 2), eff_tx - eff_tx // 2):
-                if dy in small_dys and dx in small_dxs:
-                    continue
-                keys.append(window_keys(dy, dx, cxb, cyb, rb, aliveb,
-                                        tcxb, tcyb, bidx))
-                ids.append(idb)
+    all_args = (cx, cy, rx, ry, alive, tcx, tcy, rank, ids_all)
+    w1_ty, w1_tx = min(3, 2 * ty - 1), min(3, tx)
+    if not two_tier:
+        emit_window(w3_ty, w3_tx, 0, 0, all_args, keys, ids)
+    else:
+        emit_window(w1_ty, w1_tx, 0, 0, all_args, keys, ids)
+        if w2_tx > w1_tx or w2_ty > w1_ty:
+            needs2 = (rx > tile_w) | (ry > tile_h)
+            emit_window(w2_ty, w2_tx, w1_ty, w1_tx,
+                        top_need(needs2, score, max(256, n // 16)),
+                        keys, ids)
+        if w3_tx > w2_tx or w3_ty > w2_ty:
+            needs3 = ((rx > (w2_tx // 2) * tile_w)
+                      | (ry > (w2_ty // 2) * tile_h))
+            emit_window(w3_ty, w3_tx, w2_ty, w2_tx,
+                        top_need(needs3, score, max(64, n // 256)),
+                        keys, ids)
     all_keys = jnp.concatenate(keys)
     # carry the ORIGINAL surfel ids through the sort as a value operand:
     # a contiguous slice then replaces the (issue-bound) random

@@ -60,6 +60,7 @@ class PackedSurfels(NamedTuple):
     depth: jax.Array    # [N] range of center (sort key)
     center_xy: jax.Array  # [N, 2] continuous pixel coords of center
     radius_px: jax.Array  # [N] conservative pixel radius (0 => culled)
+    extent_px: jax.Array  # [N, 2] rigorous per-axis (x, y) pixel extents
 
 
 def pack_surfels(xyz: jax.Array, scaling: jax.Array, rotation: jax.Array,
@@ -95,21 +96,60 @@ def pack_surfels(xyz: jax.Array, scaling: jax.Array, rotation: jax.Array,
     cy = K[1, 1] * phi + K[1, 2]
     center_xy = jnp.stack([cx, cy], axis=-1)
 
-    # conservative angular radius -> pixels (for binning/visibility): every
-    # ray-splat intersection lies within sigma_cut*s_max of the center in
-    # 3-D, so its direction is within that radius seen from the CLOSEST
-    # possible depth (depth - sigma_cut*s_max), not the center depth —
-    # oblique splats (floors at grazing angles) need the difference.
-    smax = jnp.max(s, axis=-1)
-    reach = sigma_cut * smax
-    ang = reach / jnp.maximum(depth - reach, NEAR)
-    fmax = jnp.maximum(jnp.abs(K[0, 0]), jnp.abs(K[1, 1]))
-    radius = ang * fmax + 1.0
-    visible = (opacity > ALPHA_MIN) & (depth > NEAR)
-    radius_px = jnp.where(visible, radius, 0.0)
+    # -- rigorous per-axis pixel extents (binning/visibility only) -------
+    # Every pixel with alpha >= ALPHA_MIN satisfies rho <= rho_max =
+    # 2 ln(opacity/ALPHA_MIN), via EITHER branch of min(rho2d, rho3d):
+    #   * 3-D branch: the ray-plane intersection x lies in the splat-plane
+    #     ellipse with semi-axes sqrt(rho_max)*(s_u t_u, s_v t_v) around p,
+    #     and the pixel's (theta, phi) are exactly the spherical coords of
+    #     x.  Azimuth: the ellipse's xy-projection fits a disc of radius
+    #     m_xy (Frobenius >= spectral), so |dtheta| <= asin(m_xy/rho_xy)
+    #     (full wrap when m_xy >= rho_xy — the z-axis is inside the disc).
+    #     Elevation: phi = atan2(z, rho_cyl) is coordinate-monotone, so its
+    #     range over the z/rho_cyl interval box is attained at the corners.
+    #   * 2-D branch: rho2d = FILTER_INV_SQUARE * px_dist^2 <= rho_max
+    #     bounds a pixel disc of radius sqrt(rho_max/FILTER_INV_SQUARE)
+    #     around the center pixel.
+    # Per-axis extent = max(angular extent in px, filter disc) + 1 px of
+    # pixel-center slack.  The old isotropic bound divided by the 3-D
+    # depth, UNDERCOVERING azimuth for low splats (rho_xy << depth) and
+    # using a fixed 3-sigma cut that truncates above-cutoff pixels of
+    # high-opacity splats; these bounds are exact-cutoff and per-axis.
+    # Non-differentiable by construction (binning consumes them; the
+    # reference's `radii` output is integer-valued, no grads flow).
+    del sigma_cut  # superseded by the exact per-splat opacity cutoff
+    pg = jax.lax.stop_gradient(p)
+    su = jax.lax.stop_gradient(s[:, 0:1] * Rc[:, :, 0])   # s_u * t_u
+    sv = jax.lax.stop_gradient(s[:, 1:2] * Rc[:, :, 1])
+    op_g = jax.lax.stop_gradient(opacity)
+    rho_max = 2.0 * jnp.log(jnp.maximum(op_g, ALPHA_MIN * (1 + 1e-6))
+                            / ALPHA_MIN)
+    sig = jnp.sqrt(rho_max)                                # [N]
+    m_xy = sig * jnp.sqrt(su[:, 0] ** 2 + su[:, 1] ** 2
+                          + sv[:, 0] ** 2 + sv[:, 1] ** 2)
+    m_z = sig * jnp.sqrt(su[:, 2] ** 2 + sv[:, 2] ** 2)
+    rho_cyl = jnp.sqrt(pg[:, 0] ** 2 + pg[:, 1] ** 2)
+    ratio = m_xy / jnp.maximum(rho_cyl, 1e-12)
+    dtheta = jnp.where(ratio >= 1.0, jnp.pi,
+                       jnp.arcsin(jnp.minimum(ratio, 1.0)))
+    phi_g = jax.lax.stop_gradient(phi)
+    z_lo, z_hi = pg[:, 2] - m_z, pg[:, 2] + m_z
+    r_lo = jnp.maximum(rho_cyl - m_xy, 0.0)
+    r_hi = rho_cyl + m_xy
+    dphi = jnp.maximum(
+        jnp.maximum(jnp.abs(jnp.arctan2(z_hi, r_lo) - phi_g),
+                    jnp.abs(jnp.arctan2(z_hi, r_hi) - phi_g)),
+        jnp.maximum(jnp.abs(jnp.arctan2(z_lo, r_lo) - phi_g),
+                    jnp.abs(jnp.arctan2(z_lo, r_hi) - phi_g)))
+    d2d = jnp.sqrt(rho_max / FILTER_INV_SQUARE)            # px
+    rx = jnp.maximum(jnp.abs(K[0, 0]) * dtheta, d2d) + 1.0
+    ry = jnp.maximum(jnp.abs(K[1, 1]) * dphi, d2d) + 1.0
+    visible = (op_g > ALPHA_MIN) & (jax.lax.stop_gradient(depth) > NEAR)
+    extent_px = jnp.where(visible[:, None], jnp.stack([rx, ry], -1), 0.0)
+    radius_px = jnp.max(extent_px, axis=-1)
     return PackedSurfels(p=p, gu=gu, gv=gv, n=n, opacity=opacity,
                          depth=depth, center_xy=center_xy,
-                         radius_px=radius_px)
+                         radius_px=radius_px, extent_px=extent_px)
 
 
 def splat_alpha_depth(packed_cols, rays, pix_xy, width: int):

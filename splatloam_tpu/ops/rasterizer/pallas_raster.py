@@ -627,8 +627,11 @@ def prepare_tiles(xyz, scaling, rotation, opacity, T_cw, K, params,
     packed = common.pack_surfels(xyz, scaling, rotation, opacity, T_cw, K)
     packed = jax.lax.stop_gradient(packed)
     if margin_px > 0:
-        packed = packed._replace(radius_px=jnp.where(
-            packed.radius_px > 0, packed.radius_px + margin_px, 0.0))
+        packed = packed._replace(
+            radius_px=jnp.where(packed.radius_px > 0,
+                                packed.radius_px + margin_px, 0.0),
+            extent_px=jnp.where(packed.extent_px > 0,
+                                packed.extent_px + margin_px, 0.0))
     if params.binner == "sorted":
         lists, counts, _ = binning.build_tile_lists_sorted(
             packed, height, width, tile_h, tile_w,
