@@ -64,16 +64,42 @@ def _tri_mm(x, cmp):
                                preferred_element_type=jnp.float32)
 
 
+_LANE_BLK = 128  # MXU/lane tile: block-diagonal decomposition boundary
+
+
+def _blocked_scan(x, cmp, reverse):
+    """Block-triangular scan: for C > 128 lanes, the triangular mask is
+    block-lower(upper)-triangular — off-diagonal blocks are all-ones, so
+    their contribution is a running row-sum carry.  Splitting into 128-lane
+    diagonal [P,128]x[128,128] dots + a [P,1] carry broadcast halves the
+    MACs at C=256 (the off-diagonal block never enters the MXU) and the
+    slices fall on native lane-tile boundaries (no relayout)."""
+    c = x.shape[1]
+    if c <= _LANE_BLK:
+        return _tri_mm(x, cmp)
+    nb = c // _LANE_BLK
+    blocks = [x[:, i * _LANE_BLK:(i + 1) * _LANE_BLK] for i in range(nb)]
+    outs = [None] * nb
+    carry = None
+    idx = range(nb - 1, -1, -1) if reverse else range(nb)
+    for i in idx:
+        d = _tri_mm(blocks[i], cmp)
+        outs[i] = d if carry is None else d + carry
+        s = jnp.sum(blocks[i], axis=1, keepdims=True)
+        carry = s if carry is None else carry + s
+    return jnp.concatenate(outs, axis=1)
+
+
 def _excl_prefix_sum(x):
-    return _tri_mm(x, lambda r, l_: r < l_)
+    return _blocked_scan(x, lambda r, l_: r < l_, reverse=False)
 
 
 def _incl_prefix_sum(x):
-    return _tri_mm(x, lambda r, l_: r <= l_)
+    return _blocked_scan(x, lambda r, l_: r <= l_, reverse=False)
 
 
 def _strict_suffix_sum(x):
-    return _tri_mm(x, lambda r, l_: r > l_)
+    return _blocked_scan(x, lambda r, l_: r > l_, reverse=True)
 
 
 def _splat_geometry(F, rays, pix, width):

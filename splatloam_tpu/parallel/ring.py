@@ -10,21 +10,31 @@ SEGMENTS: a segment's effect on a pixel is the pair
 (T_seg = prod(1-a_i),  S_seg = sum_i w_i * payload_i) and two segments
 combine as
 
-    S = S_front + T_front * S_back,      T = T_front * T_back,
+    S = S_front + T_front * S_back,      T = T_front * T_back.
 
-so if device d holds the d-th depth bucket of the surfels (for the
-current view), each device renders ONLY its shard and the per-pixel
-(T, S) carries fold across devices front-to-back.  Carries are O(pixels)
-— tiny next to the pool — and ride the ICI ring via ppermute, one hop per
-step: device d accumulates the prefix composite of buckets 0..d and the
-last device ends with the full image.  Memory per device stays
-O(pool/n_devices + image).
+The depth-distortion channel also folds: with A = sum w (alpha), D =
+sum w*m (depth_sum) per segment,
 
-This module is the correctness-level prototype on the virtual CPU mesh
-(jnp renderer): `depth_partition_shards` builds the per-view depth
-bucketing, `ring_render` folds the ring.  The median/distortion channels
-need per-segment crossing state and are not folded here (mapping losses
-use neither, ref configs depth_ratio=0).
+    dist = dist_f + T_f * (A_f * D_b - D_f * A_b) + T_f^2 * dist_b
+
+(derived by substituting the global prefix sums A_f + T_f*A_b^prefix into
+the per-splat accumulator; validated against the monolithic jnp dist
+channel in tests/test_parallel.py).  The MEDIAN channel needs the
+transmittance 0.5-crossing position — per-segment state would be the
+crossing flag + depth, combinable in principle, but no loss consumes it
+(reference configs set depth_ratio=0), so ring paths require
+depth_ratio == 0 and skip it.
+
+If device d holds the d-th depth bucket of the surfels (for the current
+view), each device renders ONLY its shard and the per-pixel (T, S)
+carries fold across devices front-to-back.  Carries are O(pixels) — tiny
+next to the pool — and ride the ICI ring via ppermute, one hop per step:
+after n-1 hops device 0 holds the in-order composite, broadcast back via
+a masked psum.  Memory per device stays O(pool/n_devices + image).
+
+`ring_render` is the standalone renderer (jnp golden or Pallas backend);
+`parallel/sharded.py:sharded_optimize_ring` wires the same fold into the
+mapper's full optimize loop.
 """
 from __future__ import annotations
 
@@ -37,13 +47,61 @@ from ..ops.rasterizer import RenderParams
 from ..ops.rasterizer.jnp_ref import rasterize_jnp
 
 
+def ring_combine(front: dict, back: dict) -> dict:
+    """Associative combine of two depth-adjacent segment states.
+
+    Keys: "T" [.., H, W]-like transmittance, "alpha", "depth_sum",
+    "normal_sum" (trailing [3]), optional "dist".
+    """
+    out = dict(
+        T=front["T"] * back["T"],
+        depth_sum=front["depth_sum"] + front["T"] * back["depth_sum"],
+        alpha=front["alpha"] + front["T"] * back["alpha"],
+        normal_sum=front["normal_sum"]
+        + front["T"][..., None] * back["normal_sum"],
+    )
+    if "dist" in front:
+        out["dist"] = (front["dist"]
+                       + front["T"] * (front["alpha"] * back["depth_sum"]
+                                       - front["depth_sum"] * back["alpha"])
+                       + front["T"] ** 2 * back["dist"])
+    return out
+
+
+def ring_fold(seg: dict, axis: str, n_devices: int) -> dict:
+    """Fold per-device segment states front-to-back over a mesh axis.
+
+    Device d must hold depth bucket d (ascending).  Segments rotate
+    backward one hop per step while each device extends its accumulator
+    with the next-deeper bucket; after n-1 hops device 0 holds the
+    in-order composite of buckets [0..n-1] (other devices hold wrapped
+    orders), broadcast to all via a masked psum.  Differentiable: the
+    ppermute/psum transposes are the reverse ring.
+    """
+    bwd = [(i, (i - 1) % n_devices) for i in range(n_devices)]
+
+    def hop(carry, _):
+        acc, rot = carry
+        rot = jax.tree_util.tree_map(
+            lambda a: jax.lax.ppermute(a, axis, perm=bwd), rot)
+        return (ring_combine(acc, rot), rot), None
+
+    (full, _), _ = jax.lax.scan(hop, (seg, seg), None,
+                                length=n_devices - 1)
+    idx = jax.lax.axis_index(axis)
+    mask = (idx == 0).astype(jnp.float32)
+    return jax.tree_util.tree_map(
+        lambda a: jax.lax.psum(a * mask.reshape((1,) * a.ndim), axis),
+        full)
+
+
 def depth_partition_shards(surfels: S.Surfels, T_cw, n_shards: int):
     """Per-view depth bucketing: returns a [C] permutation placing the
     pool in ascending camera-depth order, padded inactive slots last, so
     an even split into n_shards yields depth-contiguous buckets.
 
-    (In the production >HBM path this reshard is a one-hop ppermute of
-    pool slices per keyframe; here it is a host-side gather.)
+    (In the production >HBM path this reshard is an all-to-all of pool
+    slices per keyframe; here it is a host-side gather.)
     """
     xyz_h = jnp.concatenate([surfels.params.xyz,
                              jnp.ones((surfels.capacity, 1))], axis=1)
@@ -52,68 +110,54 @@ def depth_partition_shards(surfels: S.Surfels, T_cw, n_shards: int):
     return jnp.argsort(key)
 
 
-def ring_render(mesh: Mesh, params: RenderParams):
+def _shard_channels(params_shard: S.SurfelParams, active_shard, T_cw, K,
+                    params: RenderParams, with_dist: bool):
+    """Render ONE depth bucket -> its segment state dict."""
+    scaling = jnp.exp(params_shard.log_scale)
+    opacity = jax.nn.sigmoid(params_shard.logit_opacity) * active_shard
+    if params.backend == "pallas":
+        from ..ops.rasterizer.pallas_raster import rasterize_pallas
+        chans = rasterize_pallas(params_shard.xyz, scaling,
+                                 params_shard.quat, opacity, T_cw, K,
+                                 params._replace(with_median=False,
+                                                 with_dist=with_dist))
+    else:
+        chans = rasterize_jnp(params_shard.xyz, scaling,
+                              params_shard.quat, opacity, T_cw, K,
+                              params.height, params.width, params.chunk)
+    seg = dict(T=chans["final_T"], depth_sum=chans["depth_sum"],
+               alpha=chans["alpha"], normal_sum=chans["normal_sum"])
+    if with_dist:
+        seg["dist"] = chans["dist"]
+    return seg
+
+
+def ring_render(mesh: Mesh, params: RenderParams, with_dist: bool = False):
     """Build a jitted ring-composited renderer.
 
     fn(surf_perm: Surfels permuted depth-ascending, T_cw, K) ->
-    channel dict (depth_sum/alpha/normal_sum/final_T as in the
+    channel dict (depth_sum/alpha/normal_sum[/dist]/T as in the
     single-device rasterizer).  The pool arrives sharded P("model") —
-    each device holds one depth bucket and renders only it.
+    each device holds one depth bucket and renders only it, through the
+    jnp golden renderer or the Pallas kernels (params.backend); the
+    median channel is not folded (see module docstring).
     """
     n_model = mesh.shape["model"]
-    height, width = params.height, params.width
 
     def step(params_shard: S.SurfelParams, active_shard, T_cw, K):
-        scaling = jnp.exp(params_shard.log_scale)
-        opacity = jax.nn.sigmoid(params_shard.logit_opacity) * \
-            active_shard
-        chans = rasterize_jnp(params_shard.xyz, scaling,
-                              params_shard.quat, opacity, T_cw, K,
-                              height, width, params.chunk)
-        # local segment state: (T_seg, S_seg...)
-        seg = dict(T=chans["final_T"],
-                   depth_sum=chans["depth_sum"],
-                   alpha=chans["alpha"],
-                   normal_sum=chans["normal_sum"])
-
-        # ring fold: segments rotate backward one hop per step while each
-        # device extends its accumulator with the next-deeper bucket —
-        # after n-1 hops device 0 holds the in-order composite of buckets
-        # [0..n-1] (other devices hold wrapped orders; only device 0's is
-        # the valid front-to-back result, broadcast back via psum-mask).
-        def combine(front, back):
-            return dict(
-                T=front["T"] * back["T"],
-                depth_sum=front["depth_sum"] + front["T"]
-                * back["depth_sum"],
-                alpha=front["alpha"] + front["T"] * back["alpha"],
-                normal_sum=front["normal_sum"]
-                + front["T"][..., None] * back["normal_sum"],
-            )
-
-        bwd = [(i, (i - 1) % n_model) for i in range(n_model)]
-
-        def hop(carry, _):
-            acc, rot = carry
-            rot = jax.tree_util.tree_map(
-                lambda a: jax.lax.ppermute(a, "model", perm=bwd), rot)
-            return (combine(acc, rot), rot), None
-
-        (full, _), _ = jax.lax.scan(hop, (seg, seg), None,
-                                    length=n_model - 1)
-        idx = jax.lax.axis_index("model")
-        mask = (idx == 0).astype(jnp.float32)
-        out = jax.tree_util.tree_map(
-            lambda a: jax.lax.psum(
-                a * mask.reshape((1,) * a.ndim), "model"), full)
-        return out
+        seg = _shard_channels(params_shard, active_shard, T_cw, K,
+                              params, with_dist)
+        return ring_fold(seg, "model", n_model)
 
     spec_model = P("model")
     param_spec = S.SurfelParams(*(spec_model,) * 4)
+    out_spec = {"T": P(), "depth_sum": P(), "alpha": P(),
+                "normal_sum": P()}
+    if with_dist:
+        out_spec["dist"] = P()
     mapped = jax.shard_map(
         step, mesh=mesh,
         in_specs=(param_spec, spec_model, P(), P()),
-        out_specs={"T": P(), "depth_sum": P(), "alpha": P(),
-                   "normal_sum": P()},
+        out_specs=out_spec,
         check_vma=False)
     return jax.jit(mapped)

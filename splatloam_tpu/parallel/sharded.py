@@ -452,6 +452,215 @@ def sharded_optimize_tiles(mesh: Mesh, params: RenderParams,
     return jax.jit(mapped)
 
 
+def sharded_optimize_ring(mesh: Mesh, params: RenderParams,
+                          hyper: S.AdamHyper, mc, compute_cfg,
+                          depth_ratio: float = 0.0):
+    """Beyond-HBM optimize: ring compositing over "model" depth bands x
+    tile-DP over "data" (SURVEY §5 long-context row; parallel/ring.py).
+
+    Unlike the FSDP paths (sharded_optimize / sharded_optimize_tiles),
+    an ITERATION never materializes the full pool: each "model" shard
+    holds one depth band of the surfels (+ its Adam moments), bins and
+    renders ONLY its band through the Pallas kernels, and the per-pixel
+    segment states (T_seg, channel sums) fold front-to-back over the ICI
+    ring (ring_fold).  Gradients w.r.t. a band's params stay on its
+    device — the backward of the fold routes pixel cotangents through
+    the reverse ring — so per-iteration memory is O(capacity/n_model +
+    image + tile lists), the >HBM scaling requirement.
+
+    Once per rebin block the pool is re-partitioned depth-contiguously
+    for the block's sampled view (compositing order must be global depth
+    order; a band split of the depth argsort gives exactly the
+    single-device order).  This prototype reshards via transient
+    all_gather + slice — O(capacity) HBM for one op, amortized over
+    rebin_every iterations; the true >HBM deployment replaces it with an
+    all-to-all of pool slices (each slot moves between exactly two
+    devices), which ppermute expresses once slot routing is bucketed.
+    Requires depth_ratio == 0: the median channel's crossing state is
+    not ring-folded (all reference configs satisfy this,
+    ref configs */*.yaml depth_ratio).
+
+    Semantics: identical schedule/losses to sharded_optimize_tiles; the
+    loss is evaluated in tile space on ring-folded full channels.
+    """
+    from ..ops.rasterizer import binning as BN
+    from ..ops.rasterizer import common as CM
+    from ..ops.rasterizer import pallas_raster as PR
+    from ..geometry import se3, spherical
+    from ..slam.mapper import run_block_loop
+    from .ring import ring_fold
+
+    assert depth_ratio == 0.0, \
+        "ring compositing does not fold the median channel"
+    n_data = mesh.shape["data"]
+    n_model = mesh.shape["model"]
+    height, width = params.height, params.width
+    tile_h, tile_w = params.tile_h, params.tile_w
+    n_tiles = (height // tile_h) * (width // tile_w)
+    assert n_tiles % n_data == 0, (n_tiles, n_data)
+    t_local = n_tiles // n_data
+    rebin = max(1, int(compute_cfg.rebin_every))
+    margin_px = float(compute_cfg.bin_margin_px)
+    static = PR._StaticArgs(tile_h=tile_h, tile_w=tile_w,
+                            chunk=params.chunk, width=width,
+                            with_median=False, with_dist=False)
+
+    def opt(surf_shard: S.Surfels, adam_shard: S.AdamState, kf, key):
+        from ..ops.rasterizer.api import prepare_tiles
+
+        def reshard(surf, st, kf_idx):
+            # depth-contiguous re-partition for this block's view: band d
+            # of the global depth argsort lands on model-device d
+            T_cw = kf.T_cw[kf_idx]
+            p = surf.params.xyz @ T_cw[:3, :3].T + T_cw[:3, 3]
+            d_local = jnp.linalg.norm(p, axis=-1)
+            d_key = jnp.where(surf.active, d_local, jnp.inf)
+            d_full = jax.lax.all_gather(d_key, "model", tiled=True)
+            perm = jnp.argsort(d_full)
+            rows = d_full.shape[0] // n_model
+            midx = jax.lax.axis_index("model")
+            mine = jax.lax.dynamic_slice_in_dim(perm, midx * rows, rows)
+
+            def take(full_leaf):
+                return full_leaf[mine]
+
+            full_p = _gather_model(surf.params)
+            full_a = jax.lax.all_gather(surf.active, "model", tiled=True)
+            mu_f, nu_f = _gather_model(st.mu), _gather_model(st.nu)
+            surf2 = S.Surfels(
+                params=S.SurfelParams(*(take(a) for a in full_p)),
+                active=take(full_a))
+            st2 = S.AdamState(
+                mu=S.SurfelParams(*(take(a) for a in mu_f)),
+                nu=S.SurfelParams(*(take(a) for a in nu_f)),
+                step=st.step)
+            return surf2, st2
+
+        def make_tiles(surf, kf_idx):
+            # bin ONLY the local depth band (1/n_model of the binning
+            # work per device — nothing global is materialized)
+            scaling = jnp.exp(surf.params.log_scale)
+            opacity = jax.nn.sigmoid(surf.params.logit_opacity) * \
+                surf.active
+            tiles = prepare_tiles(surf.params.xyz, scaling,
+                                  surf.params.quat, opacity,
+                                  kf.T_cw[kf_idx], kf.K[kf_idx], params,
+                                  margin_px=margin_px)
+            # balanced snake deal over "data" from the GLOBAL per-tile
+            # load so every model shard picks the same tile subsets
+            counts_tot = jax.lax.psum(tiles.counts, "model")
+            order = jnp.argsort(-counts_tot)
+            mat = order.reshape(t_local, n_data)
+            odd = (jnp.arange(t_local) % 2 == 1)[:, None]
+            mat = jnp.where(odd, mat[:, ::-1], mat)
+            idx = jax.lax.axis_index("data")
+            mine = jnp.take(mat, idx, axis=1)
+            sub = PR.TileAssignment(
+                lists=tiles.lists[mine], counts=tiles.counts[mine],
+                rays_t=tiles.rays_t[mine], pix_t=tiles.pix_t[mine])
+            scatter_perm = mat.T.reshape(-1)
+            return sub, mine, scatter_perm
+
+        def one_iter(surf, st, kf_idx, tiles3):
+            sub, mine, scatter_perm = tiles3
+            T_cw = kf.T_cw[kf_idx]
+            K = kf.K[kf_idx]
+            gt_t = BN.tile_image(kf.depth[kf_idx], tile_h, tile_w)[mine]
+            validf = BN.tile_image(kf.valid[kf_idx], tile_h,
+                                   tile_w)[mine].astype(jnp.float32)
+            v_sum = jnp.maximum(jax.lax.psum(jnp.sum(validf), "data"), 1.0)
+            R_wc = T_cw[:3, :3].T
+            T_wc = se3.invert_T(T_cw)
+            active = surf.active
+
+            def loss_fn(band_params):
+                scaling = jnp.exp(band_params.log_scale)
+                opacity = jax.nn.sigmoid(band_params.logit_opacity) * \
+                    active
+                packed = CM.pack_surfels(band_params.xyz, scaling,
+                                         band_params.quat, opacity,
+                                         T_cw, K)
+                F = BN.pack_features(packed)
+                out = PR._raster_core(F[None], sub.lists[None],
+                                      sub.counts[None], sub.rays_t[None],
+                                      sub.pix_t[None], static)[0]
+                seg = dict(T=out[..., 7], depth_sum=out[..., 0],
+                           alpha=out[..., 1], normal_sum=out[..., 2:5])
+                ch = ring_fold(seg, "model", n_model)
+
+                alpha = ch["alpha"]                          # [t, P]
+                mask = alpha > 0.0
+                safe = jnp.where(mask, alpha, 1.0)
+                surf_depth_t = jnp.where(mask, ch["depth_sum"] / safe,
+                                         0.0)
+                normal_cam = ch["normal_sum"] / safe[..., None]
+                rend_normal = jnp.where(mask[..., None],
+                                        normal_cam @ R_wc.T, 0.0)
+
+                l1_sum = jnp.sum(jnp.abs(validf * (surf_depth_t - gt_t)))
+                gath = jax.lax.all_gather(surf_depth_t, "data",
+                                          tiled=True, axis=0)
+                full_t = jnp.zeros_like(gath).at[scatter_perm].set(gath)
+                depth_img = BN.untile_image(full_t, height, width,
+                                            tile_h, tile_w)
+                normals = spherical.depth_to_normal(depth_img, K, T_wc)
+                surf_normal = BN.tile_image(normals, tile_h,
+                                            tile_w)[mine] * \
+                    alpha[..., None]
+                ndot = jnp.sum(rend_normal * surf_normal, -1)
+                n_sum = jnp.sum((1.0 - ndot) * validf)
+                a = jnp.clip(alpha, 1e-7, 1.0 - 1e-7)
+                a_sum = jnp.sum(-jnp.log(a) * validf)
+                smax = jnp.max(scaling, axis=-1)
+                # the scale regularizer is per-band here (vs per-pool in
+                # the FSDP paths): sum over bands == sum over the pool,
+                # and /n_data de-duplicates the data-axis replicas
+                over = jnp.maximum(smax - mc.opt_scaling_max, 0.0) * \
+                    active
+                reg = mc.opt_scaling_max_penalty * jnp.sum(over) / n_data
+                return (l1_sum / (height * width)
+                        + mc.opt_lambda_alpha * a_sum / v_sum
+                        + mc.opt_lambda_normal * n_sum / v_sum
+                        + reg)
+
+            loss_local, grads = jax.value_and_grad(loss_fn)(surf.params)
+            # grads live on the band already ("model" needs no
+            # collective); psum over "data" accumulates the tile split.
+            # The loss itself needs BOTH axes: each band contributed its
+            # own reg term, and ring_fold left channel losses replicated
+            # over "model" — psum("data") totals tiles, then the reg part
+            # sums over bands; compute it as data-psum of (channel part)
+            # + model-psum of the band-local reg, folded into one number
+            # by summing the per-band loss over "model" and removing the
+            # n_model-fold duplication of the channel part.
+            chan_part = jax.lax.psum(loss_local, "data")
+            loss = chan_part  # replicated channel losses + local reg
+            grads = S.SurfelParams(*(jax.lax.psum(g, "data")
+                                     for g in grads))
+            surf2, st2 = S.adam_step(surf, st, grads, hyper)
+            return surf2, st2, loss
+
+        return run_block_loop(
+            surf_shard, adam_shard, kf.log_probs, key,
+            num_iters=mc.num_iterations + 1, rebin=rebin,
+            early=bool(mc.early_stop_enable),
+            patience_blocks=max(1, int((mc.early_stop_patience or 100)
+                                       // rebin)),
+            es_threshold=float(mc.early_stop_threshold or 0.01),
+            make_tiles=make_tiles, one_iter=one_iter, reshard=reshard)
+
+    from ..slam.mapper import KeyframeBatch
+    surf_spec, adam_spec = _surf_specs()
+    kf_spec = KeyframeBatch(K=P(), T_cw=P(), depth=P(),
+                            valid=P(), log_probs=P())
+    mapped = jax.shard_map(
+        opt, mesh=mesh,
+        in_specs=(surf_spec, adam_spec, kf_spec, P()),
+        out_specs=(surf_spec, adam_spec, P(), P()),
+        check_vma=False)
+    return jax.jit(mapped)
+
+
 def sharded_densify(mesh: Mesh, params: RenderParams, mc, max_new: int,
                     depth_ratio: float = 0.0):
     """Sharded densification: the render (the expensive part) is row-DP

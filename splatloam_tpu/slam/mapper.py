@@ -70,14 +70,18 @@ def sample_geometric_probs(n: int, last_kf_prob: float | None,
 def run_block_loop(surfels, adam, log_probs, key, *, num_iters: int,
                    rebin: int, early: bool, patience_blocks: int,
                    es_threshold: float, make_tiles, one_iter,
-                   views: int = 1):
+                   views: int = 1, reshard=None):
     """Shared optimize scaffold: while_loop over rebin-blocks with EMA
     early stopping (used by both the single-device jit program and the
     shard_map'd multi-device program — keeping their iteration schedules,
     keyframe sampling and stopping rules bitwise-identical).
 
     make_tiles(surfels, kf_idx) -> frozen tile assignment (or None);
-    one_iter(surfels, adam, kf_idx, tiles) -> (surfels, adam, loss).
+    one_iter(surfels, adam, kf_idx, tiles) -> (surfels, adam, loss);
+    reshard(surfels, adam, kf_idx) -> (surfels, adam), an optional
+    shape-preserving re-layout applied at each block start (the ring
+    path's per-view depth partitioning; slot order is free to change —
+    every consumer goes through the active mask).
     """
     n_blocks = (num_iters + rebin - 1) // rebin
     keys = jax.random.split(key, n_blocks)
@@ -86,6 +90,8 @@ def run_block_loop(surfels, adam, log_probs, key, *, num_iters: int,
         surf, st, ema, best, stalled, b = state
         kf_idx = jax.random.categorical(
             keys[b], log_probs, shape=(views,) if views > 1 else None)
+        if reshard is not None:
+            surf, st = reshard(surf, st, kf_idx)
         tiles = make_tiles(surf, kf_idx)
 
         def inner(_, c2):
