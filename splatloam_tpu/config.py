@@ -254,8 +254,10 @@ class ParallelConfig:
     model: int = 1
     # Data-axis work split: "rows" = contiguous row blocks (jnp + pallas),
     # "tiles" = count-balanced tile deal (pallas only; immune to
-    # elevation-band load imbalance), "auto" = tiles when the pallas
-    # backend is active.
+    # elevation-band load imbalance), "ring" = beyond-HBM depth-band
+    # sharding over "model" with ring compositing + tile deal over "data"
+    # (pallas only; requires opt.depth_ratio == 0), "auto" = tiles when
+    # the pallas backend is active.
     partition: str = "auto"
 
 

@@ -83,11 +83,13 @@ def build_tile_lists_sorted(packed: common.PackedSurfels, height: int,
               the per-axis extents, so most die before the sort);
       tier 2: surfels whose extent can reach beyond the 3x3 guarantee
               (rx > tile_w or ry > tile_h) emit the cap_ty x cap_tx window,
-              need-prioritized under a static budget of max(256, n/16);
-      tier 3: surfels reaching beyond tier 2's guarantee emit a
-              full-height x min(tx, 33) window, budget max(64, n/256) —
-              at 1024-wide/32-tile images that window spans the whole
-              panorama, so coverage is complete for any extent.
+              need-prioritized under a static budget of max(256, n/16) —
+              with tier-3 members force-included (score +inf offset) so a
+              tier-3 splat never loses its tier-2 annulus to crowding;
+      tier 3: surfels reaching beyond tier 2's guarantee emit the FULL
+              (2*ty-1) x tx window (every tile of the image), budget
+              max(64, n/256) — coverage for a tier-3 member is therefore
+              complete for any extent.
 
     A window of half-width k tiles GUARANTEES coverage of extents up to
     k*tile (worst-case center at a tile edge); the tier thresholds use
@@ -150,9 +152,12 @@ def build_tile_lists_sorted(packed: common.PackedSurfels, height: int,
 
     # clamp x-windows to the column count: a wider modular window would
     # visit the same column twice and double-composite surfels (rows have
-    # no wraparound — their bounds check suffices and never duplicates)
+    # no wraparound — their bounds check suffices and never duplicates).
+    # Tier 3 is the FULL image window (2*ty-1 rows reach any row from any
+    # center; tx columns cover the wrap), so a tier-3 member's coverage
+    # is complete whatever its extent — no silent cap at wide images.
     w2_ty, w2_tx = min(cap_ty, 2 * ty - 1), min(cap_tx, tx)
-    w3_ty, w3_tx = min(2 * ty - 1, 33), min(33, tx)
+    w3_ty, w3_tx = 2 * ty - 1, tx
     # normalized need (tiles of reach past the center tile)
     score = jnp.maximum(rx * (1.0 / tile_w), ry * (1.0 / tile_h))
 
@@ -164,17 +169,26 @@ def build_tile_lists_sorted(packed: common.PackedSurfels, height: int,
         emit_window(w3_ty, w3_tx, 0, 0, all_args, keys, ids)
     else:
         emit_window(w1_ty, w1_tx, 0, 0, all_args, keys, ids)
+        # tier-3 membership decided FIRST: its members must also hold
+        # tier-2 membership (tier 3 emits only the annulus beyond w2), so
+        # tier 2 force-includes them at +inf priority — their count is
+        # <= tier-3's budget <= tier-2's budget, so all of them fit.
+        needs3 = ((rx > (w2_tx // 2) * tile_w)
+                  | (ry > (w2_ty // 2) * tile_h))
+        k3 = min(n, max(64, n // 256))
+        _, bidx3 = jax.lax.top_k(jnp.where(needs3, score, -1.0), k3)
+        member3 = jnp.zeros((n,), bool).at[bidx3].set(needs3[bidx3])
         if w2_tx > w1_tx or w2_ty > w1_ty:
             needs2 = (rx > tile_w) | (ry > tile_h)
+            score2 = jnp.where(member3, jnp.inf, score)
             emit_window(w2_ty, w2_tx, w1_ty, w1_tx,
-                        top_need(needs2, score, max(256, n // 16)),
+                        top_need(needs2, score2, max(256, n // 16)),
                         keys, ids)
         if w3_tx > w2_tx or w3_ty > w2_ty:
-            needs3 = ((rx > (w2_tx // 2) * tile_w)
-                      | (ry > (w2_ty // 2) * tile_h))
-            emit_window(w3_ty, w3_tx, w2_ty, w2_tx,
-                        top_need(needs3, score, max(64, n // 256)),
-                        keys, ids)
+            args3 = (cx[bidx3], cy[bidx3], rx[bidx3], ry[bidx3],
+                     alive[bidx3] & needs3[bidx3], tcx[bidx3], tcy[bidx3],
+                     bidx3, ids_all[bidx3])
+            emit_window(w3_ty, w3_tx, w2_ty, w2_tx, args3, keys, ids)
     all_keys = jnp.concatenate(keys)
     # carry the ORIGINAL surfel ids through the sort as a value operand:
     # a contiguous slice then replaces the (issue-bound) random

@@ -77,6 +77,9 @@ def _blocked_scan(x, cmp, reverse):
     c = x.shape[1]
     if c <= _LANE_BLK:
         return _tri_mm(x, cmp)
+    assert c % _LANE_BLK == 0, \
+        f"chunk {c} > {_LANE_BLK} must be a multiple of {_LANE_BLK} " \
+        "(a ragged tail block would be silently dropped)"
     nb = c // _LANE_BLK
     blocks = [x[:, i * _LANE_BLK:(i + 1) * _LANE_BLK] for i in range(nb)]
     outs = [None] * nb
@@ -687,6 +690,9 @@ def _check_params(params):
         f"image {height}x{width} not divisible by tile {tile_h}x{tile_w}"
     assert params.tile_list_capacity % params.chunk == 0, \
         "tile_list_capacity must be a chunk multiple"
+    assert params.chunk <= _LANE_BLK or params.chunk % _LANE_BLK == 0, \
+        f"chunk > {_LANE_BLK} must be a {_LANE_BLK}-multiple (the " \
+        "blocked triangular scan decomposes on lane-tile boundaries)"
 
 
 def rasterize_pallas_batched(xyz, scaling, rotation, opacity, T_cw, K,

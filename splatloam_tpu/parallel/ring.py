@@ -95,6 +95,70 @@ def ring_fold(seg: dict, axis: str, n_devices: int) -> dict:
         full)
 
 
+def _pack_state_rows(params: S.SurfelParams, active, mu: S.SurfelParams,
+                     nu: S.SurfelParams):
+    """Stack (params, active, Adam moments) into [rows, 31] float rows so
+    one scatter/ppermute moves a slot's entire state."""
+    def cat(p):
+        return [p.xyz, p.log_scale, p.quat, p.logit_opacity[:, None]]
+    return jnp.concatenate(
+        cat(params) + [active.astype(jnp.float32)[:, None]]
+        + cat(mu) + cat(nu), axis=1)
+
+
+def _unpack_state_rows(rows):
+    def take(base):
+        return S.SurfelParams(
+            xyz=rows[:, base:base + 3],
+            log_scale=rows[:, base + 3:base + 5],
+            quat=rows[:, base + 5:base + 9],
+            logit_opacity=rows[:, base + 9])
+    return take(0), rows[:, 10] > 0.5, take(11), take(21)
+
+
+def ring_reshard(surf: S.Surfels, st: S.AdamState, d_key, axis: str,
+                 n_model: int):
+    """Depth-contiguous re-partition of a "model"-sharded pool WITHOUT
+    materializing it: an (n-1)-hop ppermute ring routes each slot's
+    packed (params, active, Adam-moment) row to its destination band.
+
+    Only the scalar depth KEYS are all-gathered (4 bytes/slot — ~3% of a
+    124-byte packed state row); per-device HBM stays at O(2 * band) rows
+    (the in-transit buffer + the output band), so the reshard honours
+    the same >HBM bound as the ring compositing itself.  This replaces
+    the prototype transient-all_gather reshard (which briefly held the
+    full pool on every device).
+
+    Device m ends holding exactly the slots whose global depth rank is
+    in [m*rows, (m+1)*rows) — bitwise the same layout as all-gathering
+    the pool and slicing the global argsort (jnp.argsort is stable, and
+    every device sorts the identical gathered key vector).
+    """
+    rows = d_key.shape[0]
+    midx = jax.lax.axis_index(axis)
+    d_full = jax.lax.all_gather(d_key, axis, tiled=True)
+    perm = jnp.argsort(d_full)
+    inv = jnp.zeros_like(perm).at[perm].set(
+        jnp.arange(perm.shape[0], dtype=perm.dtype))
+    my_rank = jax.lax.dynamic_slice_in_dim(inv, midx * rows, rows)
+
+    packed = _pack_state_rows(surf.params, surf.active, st.mu, st.nu)
+    out = jnp.zeros_like(packed)
+    buf, brank = packed, my_rank
+    bwd = [(i, (i - 1) % n_model) for i in range(n_model)]
+    for h in range(n_model):
+        mine = (brank // rows) == midx
+        dst = jnp.where(mine, brank % rows, rows)    # rows -> dropped
+        out = out.at[dst].set(buf, mode="drop")
+        if h < n_model - 1:
+            buf = jax.lax.ppermute(buf, axis, perm=bwd)
+            brank = jax.lax.ppermute(brank, axis, perm=bwd)
+
+    params2, active2, mu2, nu2 = _unpack_state_rows(out)
+    return (S.Surfels(params=params2, active=active2),
+            S.AdamState(mu=mu2, nu=nu2, step=st.step))
+
+
 def depth_partition_shards(surfels: S.Surfels, T_cw, n_shards: int):
     """Per-view depth bucketing: returns a [C] permutation placing the
     pool in ascending camera-depth order, padded inactive slots last, so

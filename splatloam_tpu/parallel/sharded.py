@@ -471,11 +471,10 @@ def sharded_optimize_ring(mesh: Mesh, params: RenderParams,
     Once per rebin block the pool is re-partitioned depth-contiguously
     for the block's sampled view (compositing order must be global depth
     order; a band split of the depth argsort gives exactly the
-    single-device order).  This prototype reshards via transient
-    all_gather + slice — O(capacity) HBM for one op, amortized over
-    rebin_every iterations; the true >HBM deployment replaces it with an
-    all-to-all of pool slices (each slot moves between exactly two
-    devices), which ppermute expresses once slot routing is bucketed.
+    single-device order).  The reshard itself is the bucketed all-to-all
+    of ring.ring_reshard: packed state rows ride an (n-1)-hop ppermute
+    ring and only scalar depth keys are ever all-gathered, so per-device
+    HBM stays O(band) through the reshard too.
     Requires depth_ratio == 0: the median channel's crossing state is
     not ring-folded (all reference configs satisfy this,
     ref configs */*.yaml depth_ratio).
@@ -488,7 +487,7 @@ def sharded_optimize_ring(mesh: Mesh, params: RenderParams,
     from ..ops.rasterizer import pallas_raster as PR
     from ..geometry import se3, spherical
     from ..slam.mapper import run_block_loop
-    from .ring import ring_fold
+    from .ring import ring_fold, ring_reshard
 
     assert depth_ratio == 0.0, \
         "ring compositing does not fold the median channel"
@@ -510,31 +509,13 @@ def sharded_optimize_ring(mesh: Mesh, params: RenderParams,
 
         def reshard(surf, st, kf_idx):
             # depth-contiguous re-partition for this block's view: band d
-            # of the global depth argsort lands on model-device d
+            # of the global depth argsort lands on model-device d, routed
+            # by the O(band)-memory ppermute ring (no full-pool gather)
             T_cw = kf.T_cw[kf_idx]
             p = surf.params.xyz @ T_cw[:3, :3].T + T_cw[:3, 3]
             d_local = jnp.linalg.norm(p, axis=-1)
             d_key = jnp.where(surf.active, d_local, jnp.inf)
-            d_full = jax.lax.all_gather(d_key, "model", tiled=True)
-            perm = jnp.argsort(d_full)
-            rows = d_full.shape[0] // n_model
-            midx = jax.lax.axis_index("model")
-            mine = jax.lax.dynamic_slice_in_dim(perm, midx * rows, rows)
-
-            def take(full_leaf):
-                return full_leaf[mine]
-
-            full_p = _gather_model(surf.params)
-            full_a = jax.lax.all_gather(surf.active, "model", tiled=True)
-            mu_f, nu_f = _gather_model(st.mu), _gather_model(st.nu)
-            surf2 = S.Surfels(
-                params=S.SurfelParams(*(take(a) for a in full_p)),
-                active=take(full_a))
-            st2 = S.AdamState(
-                mu=S.SurfelParams(*(take(a) for a in mu_f)),
-                nu=S.SurfelParams(*(take(a) for a in nu_f)),
-                step=st.step)
-            return surf2, st2
+            return ring_reshard(surf, st, d_key, "model", n_model)
 
         def make_tiles(surf, kf_idx):
             # bin ONLY the local depth band (1/n_model of the binning
@@ -612,29 +593,34 @@ def sharded_optimize_ring(mesh: Mesh, params: RenderParams,
                 a = jnp.clip(alpha, 1e-7, 1.0 - 1e-7)
                 a_sum = jnp.sum(-jnp.log(a) * validf)
                 smax = jnp.max(scaling, axis=-1)
-                # the scale regularizer is per-band here (vs per-pool in
-                # the FSDP paths): sum over bands == sum over the pool,
-                # and /n_data de-duplicates the data-axis replicas
+                # Per-device loss is loss_total / (n_data * n_model) in
+                # expectation structure: under shard_map AD the grad each
+                # device gets is d(sum of all per-device losses)/d(local
+                # band params), so every replicated term must be
+                # pre-divided by its replication count.  The channel
+                # losses come out of ring_fold replicated over "model"
+                # (/n_model); the band-local scale reg appears once per
+                # band but on every "data" replica (/n_data).
                 over = jnp.maximum(smax - mc.opt_scaling_max, 0.0) * \
                     active
                 reg = mc.opt_scaling_max_penalty * jnp.sum(over) / n_data
-                return (l1_sum / (height * width)
+                chan = (l1_sum / (height * width)
                         + mc.opt_lambda_alpha * a_sum / v_sum
-                        + mc.opt_lambda_normal * n_sum / v_sum
-                        + reg)
+                        + mc.opt_lambda_normal * n_sum / v_sum)
+                return chan / n_model + reg
 
             loss_local, grads = jax.value_and_grad(loss_fn)(surf.params)
-            # grads live on the band already ("model" needs no
-            # collective); psum over "data" accumulates the tile split.
-            # The loss itself needs BOTH axes: each band contributed its
-            # own reg term, and ring_fold left channel losses replicated
-            # over "model" — psum("data") totals tiles, then the reg part
-            # sums over bands; compute it as data-psum of (channel part)
-            # + model-psum of the band-local reg, folded into one number
-            # by summing the per-band loss over "model" and removing the
-            # n_model-fold duplication of the channel part.
-            chan_part = jax.lax.psum(loss_local, "data")
-            loss = chan_part  # replicated channel losses + local reg
+            # grads live on the band already ("model" needs no explicit
+            # collective — ring_fold's transpose routed the pixel
+            # cotangents through the reverse ring); psum over "data"
+            # accumulates the tile split.  The scalar loss: summing
+            # loss_local over BOTH axes reconstitutes exactly
+            # chan_total + reg_total (the pre-divisions above cancel the
+            # replication counts), and — critically — yields the SAME
+            # replicated value on every device, so run_block_loop's EMA
+            # early-stop while_loop takes identical trip counts on all
+            # shards (divergent counts around collectives would deadlock).
+            loss = jax.lax.psum(loss_local, ("data", "model"))
             grads = S.SurfelParams(*(jax.lax.psum(g, "data")
                                      for g in grads))
             surf2, st2 = S.adam_step(surf, st, grads, hyper)

@@ -446,6 +446,7 @@ class Mapper:
         runs inside ONE jitted shard_map while_loop — no per-iteration
         host sync or keyframe re-staging."""
         from ..parallel.sharded import (sharded_densify, sharded_optimize,
+                                        sharded_optimize_ring,
                                         sharded_optimize_tiles,
                                         sharded_prune)
 
@@ -456,8 +457,13 @@ class Mapper:
             part = ("tiles"
                     if _resolve_backend(progs.params.backend) == "pallas"
                     else "rows")
-        opt_builder = (sharded_optimize_tiles if part == "tiles"
-                       else sharded_optimize)
+        builders = {"tiles": sharded_optimize_tiles,
+                    "ring": sharded_optimize_ring,
+                    "rows": sharded_optimize}
+        if part not in builders:
+            raise ValueError(f"unknown parallel.partition {part!r}; "
+                             f"expected one of {sorted(builders)} or auto")
+        opt_builder = builders[part]
         sig = (progs.height, progs.width, progs.capacity)
         if sig not in self._sharded_steps:
             self._sharded_steps[sig] = {

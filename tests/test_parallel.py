@@ -307,6 +307,123 @@ def test_ring_compositing_gradients_match(rng):
                                    err_msg=name)
 
 
+def test_ring_render_dist_channel_matches(rng):
+    """The distortion-channel segment fold (ring_combine's dist branch)
+    must equal the monolithic jnp dist channel — the claim in
+    parallel/ring.py's module docstring, exercised end to end."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from splatloam_tpu.parallel.ring import (depth_partition_shards,
+                                             ring_render)
+    surf, adam, K, T_cw, depth, valid = _setup(rng)
+    mesh = make_mesh(data=1, model=8)
+    params = RenderParams(height=H, width=W, backend="jnp")
+
+    perm = depth_partition_shards(surf, T_cw, 8)
+    surf_p = S.Surfels(
+        params=S.SurfelParams(*(a[perm] for a in surf.params)),
+        active=surf.active[perm])
+    shard = NamedSharding(mesh, P("model"))
+    params_sh = S.SurfelParams(*(jax.device_put(a, shard)
+                                 for a in surf_p.params))
+    active_sh = jax.device_put(surf_p.active, shard)
+
+    out = ring_render(mesh, params, with_dist=True)(params_sh, active_sh,
+                                                    T_cw, K)
+    from splatloam_tpu.ops.rasterizer.jnp_ref import rasterize_jnp
+    ref = rasterize_jnp(surf.params.xyz, surf.scaling, surf.rotation,
+                        surf.opacity, T_cw, K, H, W)
+    np.testing.assert_allclose(np.asarray(out["dist"]),
+                               np.asarray(ref["dist"]), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(out["alpha"]),
+                               np.asarray(ref["alpha"]), atol=2e-5)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2)])
+def test_ring_optimize_matches_single_device(rng, tmp_path, mesh_shape):
+    """sharded_optimize_ring (depth-band sharding over "model" + ring
+    compositing, tile-DP over "data") must match the single-device pallas
+    optimize loop: same iteration count, same EMA loss, same final pool
+    up to the depth re-partition's slot permutation (VERDICT r3 ask #3).
+
+    n_model > 1 specifically exercises the channel-loss /n_model
+    pre-division and the replicated psum'd loss (the round-3 advisor
+    findings); opt_scaling_max is set BELOW the densify init scales so
+    the band-local reg term is active — a mis-scaled channel gradient
+    (which Adam's scale invariance would otherwise hide) changes the
+    channel:reg ratio and the loss scalar, blowing past these
+    tolerances.  Residual diffs come from the per-band Pallas early
+    exit (each band restarts transmittance at 1, so T_EPS truncation
+    composites slightly differently than the monolithic pass)."""
+    import synthetic
+    from splatloam_tpu.parallel.sharded import sharded_optimize_ring
+    from splatloam_tpu.slam.mapper import (KeyframeBatch, MapperPrograms,
+                                           sample_geometric_probs)
+
+    cfg = synthetic.make_config(
+        tmp_path,
+        mapping={"num_iterations": 3, "densify_percentage": 0.1,
+                 "opt_scaling_max": 0.05},
+        compute={"backend": "pallas", "rebin_every": 4,
+                 "tile_list_capacity": 512})
+    h, w = 16, 256
+    progs = MapperPrograms(cfg, h, w, CAP)
+    mesh = make_mesh(data=mesh_shape[0], model=mesh_shape[1])
+    sh_opt = sharded_optimize_ring(mesh, progs.params, progs.hyper,
+                                   cfg.mapping, cfg.compute,
+                                   cfg.opt.depth_ratio)
+
+    cam = _camera(rng, h, w)
+    key = jax.random.PRNGKey(7)
+    s_ref, a_ref, _, _ = progs._densify(S.empty_surfels(CAP),
+                                        S.empty_adam(CAP), cam, key,
+                                        initialize=True)
+
+    kf_cap = 8
+    probs = sample_geometric_probs(1, 0.4, kf_cap)
+    log_probs = np.full((kf_cap,), -np.inf, np.float32)
+    log_probs[0] = np.log(probs[0])
+
+    def pad(x1):
+        return jnp.concatenate(
+            [x1[None], jnp.zeros((kf_cap - 1,) + x1.shape, x1.dtype)])
+
+    kf = KeyframeBatch(K=pad(cam.K), T_cw=pad(cam.T_cw),
+                       depth=pad(cam.depth), valid=pad(cam.valid),
+                       log_probs=jnp.asarray(log_probs))
+    okey = jax.random.PRNGKey(3)
+    s2_ref, a2_ref, ema_ref, it_ref = progs._optimize(s_ref, a_ref, kf,
+                                                      okey)
+    surf_sh, adam_sh = shard_model_state(mesh, s_ref, a_ref)
+    s2_sh, a2_sh, ema_sh, it_sh = sh_opt(surf_sh, adam_sh, kf, okey)
+    assert int(it_sh) == int(it_ref) >= 4
+    np.testing.assert_allclose(float(ema_sh), float(ema_ref), rtol=1e-4)
+
+    # the ring reshard permutes pool slots: pair the ACTIVE surfels by
+    # nearest neighbor (trajectories track to ~mm, surfel spacing is
+    # ~dm) and require the pairing to be a bijection
+    act_r = np.asarray(s2_ref.active)
+    act_s = np.asarray(s2_sh.active)
+    xr = np.asarray(s2_ref.params.xyz)[act_r]
+    xs = np.asarray(s2_sh.params.xyz)[act_s]
+    assert xr.shape == xs.shape
+    dist = np.linalg.norm(xs[:, None, :] - xr[None, :, :], axis=-1)
+    j = dist.argmin(1)
+    assert len(set(j.tolist())) == len(j), "slot pairing not a bijection"
+    assert float(dist.min(1).max()) < 0.05
+
+    for name, a, b, tol in [
+            ("logit_opacity", s2_sh.params.logit_opacity,
+             s2_ref.params.logit_opacity, 0.05),
+            ("log_scale", s2_sh.params.log_scale,
+             s2_ref.params.log_scale, 0.05),
+            ("mu_xyz", a2_sh.mu.xyz, a2_ref.mu.xyz, 5e-3)]:
+        np.testing.assert_allclose(np.asarray(a)[act_s],
+                                   np.asarray(b)[act_r][j], atol=tol,
+                                   err_msg=name)
+    assert int(a2_sh.step) == int(a2_ref.step)
+
+
 @pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 4)])
 def test_sharded_step_matches_single_device(rng, mesh_shape):
     assert len(jax.devices()) == 8, "conftest must force 8 cpu devices"
