@@ -121,6 +121,15 @@ class AlignerParams:
     # Early termination: stop when |dx| (rad+m 6-vector norm) drops below
     # this; 0 disables (fixed num_iterations, round-1 behavior).
     convergence_tol: float = 1e-6
+    # Weight of the optional range ("photometric"-analog) residual
+    # |T p_s| - rendered_range alongside point-to-plane.  The reference's
+    # AlignerGeomPhoto (ref slam/tracker.py:141-197) despite its name
+    # receives only depth + points on both sides (set_reference/set_query,
+    # ref :160-181) — no intensity channel exists anywhere in its data
+    # path — so geometric-only (0.0) IS the reference contract; this term
+    # adds the range-image analog of a photometric error for scenes where
+    # point-to-plane under-constrains the along-ray translation.
+    lambda_range: float = 0.0
 
 
 @dataclass

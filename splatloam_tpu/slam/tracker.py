@@ -53,7 +53,7 @@ def _prepare_source(depth, K, valid):
 
 @partial(jax.jit, static_argnames=("num_iterations", "height", "width",
                                    "corr_factor_init", "corr_decay_iters",
-                                   "convergence_tol"))
+                                   "convergence_tol", "lambda_range"))
 def gauss_newton_align(T_init,
                        src_pts, src_valid,
                        tgt_depth, tgt_pts, tgt_normals, tgt_valid,
@@ -66,7 +66,8 @@ def gauss_newton_align(T_init,
                        damping: float,
                        corr_factor_init: float = 1.0,
                        corr_decay_iters: int = 0,
-                       convergence_tol: float = 0.0):
+                       convergence_tol: float = 0.0,
+                       lambda_range: float = 0.0):
     """Projective point-to-plane GN.  All target images [H, W, ...].
 
     Hardening over the plain fixed-iteration loop (gsaligner contract,
@@ -74,6 +75,14 @@ def gauss_newton_align(T_init,
     corr_factor_init * max_corr_dist and decays linearly to 1x over
     corr_decay_iters (wide basin early, tight association late), and the
     loop exits once |dx| < convergence_tol.
+
+    ``lambda_range > 0`` adds the range-image residual
+    r2 = |T p_s| - rendered_range(pixel) — the "photometric"-analog
+    channel on the range image (the reference's AlignerGeomPhoto carries
+    no intensity either; see config.AlignerParams.lambda_range).  Its
+    Jacobian w.r.t. an se(3) perturbation is [q_hat, q x q_hat = 0]:
+    the term constrains only along-ray translation, complementing
+    point-to-plane on surfaces seen at grazing angles.
     """
 
     # flat single-index gathers (2-D advanced indexing lowers to a much
@@ -81,6 +90,7 @@ def gauss_newton_align(T_init,
     tgt_n_flat = tgt_normals.reshape(-1, 3)
     tgt_p_flat = tgt_pts.reshape(-1, 3)
     tgt_v_flat = tgt_valid.reshape(-1)
+    tgt_d_flat = tgt_depth.reshape(-1)
 
     def residuals(T, corr_dist):
         q = src_pts @ T[:3, :3].T + T[:3, 3]
@@ -94,7 +104,10 @@ def gauss_newton_align(T_init,
         r = jnp.sum(n * (q - p_t), axis=-1)
         ok = (src_valid & in_img & tgt_v_flat[flat]
               & (jnp.abs(r) <= corr_dist))
-        return r, ok, q, n
+        r_rng = jnp.linalg.norm(q, axis=-1) - tgt_d_flat[flat]
+        ok_rng = (src_valid & in_img & tgt_v_flat[flat]
+                  & (jnp.abs(r_rng) <= corr_dist))
+        return r, ok, q, n, r_rng, ok_rng
 
     def corr_at(i):
         if corr_decay_iters <= 0 or corr_factor_init <= 1.0:
@@ -112,7 +125,7 @@ def gauss_newton_align(T_init,
 
     def body(state):
         i, T, _ = state
-        r, ok, q, n = residuals(T, corr_at(i))
+        r, ok, q, n, r_rng, ok_rng = residuals(T, corr_at(i))
         absr = jnp.abs(r)
         w = jnp.where(absr <= huber_delta, 1.0,
                       huber_delta / jnp.maximum(absr, 1e-12))
@@ -122,6 +135,19 @@ def gauss_newton_align(T_init,
                        precision=jax.lax.Precision.HIGHEST)
         b = jnp.einsum("pi,p->i", J, w * r,
                        precision=jax.lax.Precision.HIGHEST)
+        if lambda_range > 0.0:
+            # range channel: J2 = [q_hat, 0] (rotation leaves |q| fixed)
+            q_hat = q / jnp.maximum(
+                jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-9)
+            absr2 = jnp.abs(r_rng)
+            w2 = jnp.where(absr2 <= huber_delta, 1.0,
+                           huber_delta / jnp.maximum(absr2, 1e-12))
+            w2 = jnp.where(ok_rng, lambda_range * w2, 0.0)
+            J2 = jnp.concatenate([q_hat, jnp.zeros_like(q_hat)], axis=-1)
+            H = H + jnp.einsum("pi,pj->ij", J2 * w2[:, None], J2,
+                               precision=jax.lax.Precision.HIGHEST)
+            b = b + jnp.einsum("pi,p->i", J2, w2 * r_rng,
+                               precision=jax.lax.Precision.HIGHEST)
         H = H + damping * jnp.eye(6)
         dx = -jnp.linalg.solve(H, b)
         ok_solve = jnp.all(jnp.isfinite(dx)) & (jnp.sum(ok) >= 6)
@@ -135,7 +161,7 @@ def gauss_newton_align(T_init,
 
     _, T, _ = jax.lax.while_loop(
         cond, body, (jnp.int32(0), T_init, jnp.float32(jnp.inf)))
-    r, ok, _, _ = residuals(T, jnp.float32(max_corr_dist))
+    r, ok, _, _, _, _ = residuals(T, jnp.float32(max_corr_dist))
     n_src = jnp.maximum(jnp.sum(src_valid), 1)
     fitness = jnp.sum(ok & (jnp.abs(r) < inlier_threshold)) / n_src
     return T, fitness
@@ -205,7 +231,8 @@ class AlignerGN:
             damping=float(self.ap.damping),
             corr_factor_init=float(self.ap.corr_factor_init),
             corr_decay_iters=int(self.ap.corr_decay_iters),
-            convergence_tol=float(self.ap.convergence_tol))
+            convergence_tol=float(self.ap.convergence_tol),
+            lambda_range=float(self.ap.lambda_range or 0.0))
         self.reg_fitness = float(fitness)
         return np.asarray(T, np.float64)
 

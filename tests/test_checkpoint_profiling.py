@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 import synthetic
 from splatloam_tpu.logging_backends import reset_datalogger
@@ -18,6 +19,7 @@ def test_profiler_phases():
     assert "rays" in prof.report()
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_continues_identically(tmp_path, rng):
     from splatloam_tpu.checkpoint import load_checkpoint, save_checkpoint
     reset_datalogger()

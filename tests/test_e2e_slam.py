@@ -1,6 +1,7 @@
 """End-to-end SLAM on a synthetic world (mapping-GT and odometry modes)."""
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import synthetic
 from splatloam_tpu.logging_backends import reset_datalogger
@@ -23,7 +24,10 @@ def _run_slam(tmp_path, rng, n_frames=5, **cfg_overrides):
 
 
 def test_mapping_gt_end_to_end(tmp_path, rng):
-    cfg, slam, poses = _run_slam(tmp_path, rng)
+    # 60 iterations suffice for the depth-L1 gate at this scene size and
+    # keep the e2e smoke inside the fast tier's 3-minute budget
+    cfg, slam, poses = _run_slam(tmp_path, rng,
+                                 mapping={"num_iterations": 60})
     assert len(slam.world_T_odom) == 5
     # GT tracking: odometry must equal the ground truth trajectory
     for est, gt in zip(slam.world_T_odom, poses):
@@ -63,6 +67,7 @@ def test_mapping_gt_end_to_end(tmp_path, rng):
     assert len(xyz) == slam.local_models[0].no_gaussians
 
 
+@pytest.mark.slow
 def test_odometry_mode_end_to_end(tmp_path, rng):
     cfg, slam, poses = _run_slam(
         tmp_path, rng, n_frames=4,

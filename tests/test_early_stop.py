@@ -1,5 +1,6 @@
 import jax
 import numpy as np
+import pytest
 
 import synthetic
 from splatloam_tpu.logging_backends import reset_datalogger
@@ -39,6 +40,7 @@ def test_early_stop_runs_fewer_iterations(tmp_path, rng):
     assert np.isfinite(float(ema))
 
 
+@pytest.mark.slow
 def test_multiview_optimize_converges(tmp_path, rng):
     """views_per_iteration=3: batched multi-view optimization must fit
     the keyframe at least as well as the single-view loop for the same

@@ -171,6 +171,7 @@ def test_gradient_parity_early_exit(rng):
                                    err_msg=name)
 
 
+@pytest.mark.slow
 def test_batched_multiview_matches_per_view(rng):
     """rasterize_pallas_batched over B=3 poses == three single-view
     renders (forward and gradients, which must SUM over views)."""

@@ -51,6 +51,34 @@ def test_gauss_newton_recovers_small_transform(rng):
     assert float(fitness) > 0.8
 
 
+def test_gauss_newton_range_residual_channel(rng):
+    """lambda_range > 0 (the "photometric"-analog range channel,
+    config.AlignerParams.lambda_range) must still recover the transform —
+    the extra along-ray term complements point-to-plane without biasing
+    the solution on a well-constrained scene."""
+    H, W = 24, 256
+    T_t = np.eye(4)
+    K, depth_t, valid_t = _frame_images(rng, T_t, H, W)
+    pts_t = spherical.depth_to_points(depth_t, K)
+    normals_t = spherical.depth_to_normal(depth_t, K)
+
+    T_s = np.eye(4)
+    T_s[:3, 3] = [0.15, -0.1, 0.05]
+    K_s, depth_s, valid_s = _frame_images(rng, T_s, H, W)
+    src_pts = spherical.depth_to_points(depth_s, K_s).reshape(-1, 3)
+    src_valid = np.asarray(valid_s).reshape(-1)
+
+    T_est, fitness = gauss_newton_align(
+        jnp.eye(4), src_pts, jnp.asarray(src_valid),
+        depth_t, pts_t, normals_t, valid_t, K, H, W,
+        num_iterations=30, huber_delta=0.3, max_corr_dist=1.0,
+        inlier_threshold=0.3, damping=1e-6, lambda_range=0.5)
+    T_est = np.asarray(T_est)
+    err_t = np.linalg.norm(T_est[:3, 3] - T_s[:3, 3])
+    assert err_t < 0.03, f"translation error {err_t}, T_est={T_est}"
+    assert float(fitness) > 0.8
+
+
 def test_gauss_newton_basin_large_motion(rng):
     """Tracker hardening (VERDICT r1 #8): with the scheduled
     correspondence gate + convergence exit, GN must recover a motion >=2x
