@@ -122,7 +122,7 @@ def _run_stage(name, n_surfels, iters, rebin, params, final):
     total_iters = iters * rebin
 
     rays_per_s = H * W * total_iters / dt
-    emit({
+    line = {
         "metric": "render_fwd_bwd_rays_per_s",
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
@@ -137,8 +137,9 @@ def _run_stage(name, n_surfels, iters, rebin, params, final):
             "device": str(jax.devices()[0]),
             "elapsed_s": round(_elapsed(), 1),
         },
-    })
-    return rays_per_s
+    }
+    emit(line)
+    return rays_per_s, line
 
 
 _FORCE_CPU = False  # set by --force-cpu (the re-exec fallback below)
@@ -238,10 +239,8 @@ def run_throughput(budget_s):
         return
 
     # Stage 1: small pool, rebin=1 — one small program, lands a number fast
-    small = RenderParams(height=H, width=W, backend=backend,
-                         chunk=256, tile_h=8, tile_w=32,
-                         tile_list_capacity=1024,
-                         with_median=False, with_dist=False)
+    small = params._replace(tile_list_capacity=min(
+        1024, params.tile_list_capacity))
     try:
         _run_stage("quick-20k", 20_000, 5, 1, small, final=False)
     except Exception as e:  # noqa: BLE001 — one retry for relay flakes
@@ -250,7 +249,32 @@ def run_throughput(budget_s):
                       f"{e}; retrying"})
         _run_stage("quick-20k", 20_000, 5, 1, small, final=False)
 
-    # Stage 2: the headline 100k-surfel mapper block.  Skip only if the
+    # Stage 2: hardware parity rider BEFORE the big compile, so every
+    # captured run carries a machine-readable parity line even when the
+    # full stage runs out of budget (the interpret-mode test suite can't
+    # see real VMEM initialization behavior).
+    try:
+        import numpy as np
+        from splatloam_tpu.ops.rasterizer.jnp_ref import rasterize_jnp
+        from splatloam_tpu.ops.rasterizer.pallas_raster import \
+            rasterize_pallas
+        rng = np.random.default_rng(0)
+        args = make_scene(rng, 20_000)
+        ref = rasterize_jnp(*args, H, W)
+        out = rasterize_pallas(*args, params._replace(
+            with_median=True, with_dist=True))
+        diffs = {k: float(abs(np.asarray(out[k], np.float32)
+                              - np.asarray(ref[k], np.float32)).max())
+                 for k in ("alpha", "depth_sum", "normal_sum")}
+        ok = (diffs["alpha"] <= 5e-4 and diffs["depth_sum"] <= 5e-3
+              and diffs["normal_sum"] <= 5e-3)
+        emit({"metric": "parity_rider_fwd_20k", "value": int(ok),
+              "unit": "bool(1=pass)", "max_abs_diff": diffs})
+    except Exception as e:  # noqa: BLE001 — parity is a rider
+        emit({"metric": "bench_note", "value": 0, "unit": "",
+              "note": f"parity rider failed: {type(e).__name__}: {e}"})
+
+    # Stage 3: the headline 100k-surfel mapper block.  Skip only if the
     # remaining budget can't absorb a cold remote compile (~240 s) plus
     # the measurement itself.
     remaining = budget_s - _elapsed()
@@ -260,35 +284,14 @@ def run_throughput(budget_s):
                       "quick stage stands as headline"})
         return
     try:
-        _run_stage("full-100k", N_SURFELS, 15, 16, params, final=True)
+        _, line = _run_stage("full-100k", N_SURFELS, 15, 16, params,
+                             final=True)
+        # the driver parses the LAST stdout line as THE result: re-emit
+        # the headline so notes/riders never displace it
+        emit(line)
     except Exception as e:  # noqa: BLE001 — stage 1 already landed a number
         emit({"metric": "bench_note", "value": 0, "unit": "",
               "note": f"full stage failed: {type(e).__name__}: {e}"})
-
-    # Hardware parity rider: one small Pallas-vs-golden forward check so
-    # every captured bench run carries a machine-readable parity line
-    # (the interpret-mode test suite can't see real VMEM behavior).
-    if budget_s - _elapsed() > 120.0:
-        try:
-            import numpy as np
-            from splatloam_tpu.ops.rasterizer.jnp_ref import rasterize_jnp
-            from splatloam_tpu.ops.rasterizer.pallas_raster import \
-                rasterize_pallas
-            rng = np.random.default_rng(0)
-            args = make_scene(rng, 20_000)
-            ref = rasterize_jnp(*args, H, W)
-            out = rasterize_pallas(*args, params._replace(
-                with_median=True, with_dist=True))
-            diffs = {k: float(abs(np.asarray(out[k], np.float32)
-                                  - np.asarray(ref[k], np.float32)).max())
-                     for k in ("alpha", "depth_sum", "normal_sum")}
-            ok = (diffs["alpha"] <= 5e-4 and diffs["depth_sum"] <= 5e-3
-                  and diffs["normal_sum"] <= 5e-3)
-            emit({"metric": "parity_rider_fwd_20k", "value": int(ok),
-                  "unit": "bool(1=pass)", "max_abs_diff": diffs})
-        except Exception as e:  # noqa: BLE001 — parity is a rider
-            emit({"metric": "bench_note", "value": 0, "unit": "",
-                  "note": f"parity rider failed: {type(e).__name__}: {e}"})
 
 
 def run_parity():

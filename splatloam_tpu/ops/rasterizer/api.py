@@ -38,6 +38,13 @@ class RenderParams(NamedTuple):
     binner: str = "sorted"
     cap_ty: int = 9
     cap_tx: int = 9
+    # slot layout consumed by the Pallas kernels: "tiled" = padded [T, K]
+    # per-tile lists, "flat" = compacted chunk-aligned slot pool (the
+    # per-iteration gather/scatter/DMA cost drops from T*K to ~sum(counts)
+    # rows; see pallas_raster.build_flat_lists)
+    layout: str = "tiled"
+    # static flat-pool slot budget (chunk multiple); 0 = T*K/2
+    flat_capacity: int = 0
 
 
 def _resolve_backend(backend: str) -> str:

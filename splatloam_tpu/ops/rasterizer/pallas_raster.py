@@ -595,6 +595,405 @@ def _backward_tiled(F, lists, counts, rays_t, pix_t, tbound, outs, g_tiled,
 
 
 # ---------------------------------------------------------------------------
+# Flat compacted-slot-pool kernels (layout="flat")
+#
+# The padded [T, K] per-tile layout taxes every slot-level consumer with
+# the cap: the per-iteration feature gather, the kernel block DMAs and
+# the gradient scatter all touch T*K rows although only ~40-45% are real
+# on KITTI-scale scenes — and the issue-bound row-copy cost is per-row
+# and width-independent (measured 4.3 ns/row on v5e).  Here each tile's
+# depth-ordered slot segment sits back-to-back in ONE flat array padded
+# only to the next chunk multiple (binning.build_flat_lists); the kernel
+# grid runs over FLAT CHUNKS with scalar-prefetched chunk->tile routing,
+# accumulating into a revisited per-tile output block.  Pad slots point
+# at the zero feature row, whose opacity 0 self-neutralizes (alpha_raw
+# < ALPHA_MIN), so no per-tile count logic survives in the kernel.
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel_flat(tile_sc, fg_ref, rays_ref, pix_ref,
+                     out_ref, tbound_ref,
+                     *, width, with_median, with_dist):
+    """Grid = flat chunks.  out_ref is the revisited per-tile accumulator
+    (cols: 0 d_sum | 1 a_sum | 2:5 n_sum | 5 med | 6 dist | 7 T_carry);
+    tbound_ref holds the chunk-START transmittance per flat chunk (zeroed
+    for chunks the saturation exit skipped, as the backward's liveness
+    test expects)."""
+    i = pl.program_id(0)
+    t = tile_sc[i]
+    prev_t = tile_sc[jnp.maximum(i - 1, 0)]
+    first = jnp.logical_or(i == 0, prev_t != t)
+    rays = rays_ref[0]                      # [P, 3]
+    pix = pix_ref[0]
+    p_tile = rays.shape[0]
+
+    @pl.when(first)
+    def _init():
+        # cols 0..6 zero, col 7 (T_carry) one — no scatter in-kernel
+        out_ref[0] = jnp.concatenate(
+            [jnp.zeros((p_tile, 7), jnp.float32),
+             jnp.ones((p_tile, 1), jnp.float32)], axis=1)
+
+    T_carry = out_ref[0, :, 7:8]
+    alive = jnp.max(T_carry) > T_EPS
+    # tbound row 0 of an [8, P] block (Mosaic wants sublane-dim >= 8)
+    tbound_ref[0, 0] = jnp.where(alive, T_carry[:, 0], 0.0)
+
+    @pl.when(alive)
+    def _compute():
+        F = fg_ref[0]                       # [16, C]
+        geo = _splat_geometry(F, rays, pix, width)
+        alpha, m = geo["alpha"], geo["m"]   # [P, C]
+        logs = jnp.log1p(-alpha)
+        texc = jnp.exp(_excl_prefix_sum(logs))
+        Ti = T_carry * texc
+        w = alpha * Ti
+        wm = w * m
+        acc = out_ref[0]
+        d_sum = acc[:, 0:1] + jnp.sum(wm, axis=1, keepdims=True)
+        a_sum_prev = acc[:, 1:2]
+        a_sum = a_sum_prev + jnp.sum(w, axis=1, keepdims=True)
+        n3 = geo["n3"]
+        n_sum = acc[:, 2:5] + jnp.concatenate(
+            [jnp.sum(w * n3[k:k + 1, :], axis=1, keepdims=True)
+             for k in range(3)], axis=1)
+        med = acc[:, 5:6]
+        dist = acc[:, 6:7]
+        if with_dist:
+            a_prev = a_sum_prev + _excl_prefix_sum(w)
+            d_prev = acc[:, 0:1] + _excl_prefix_sum(wm)
+            dist = dist + jnp.sum(w * (m * a_prev - d_prev), axis=1,
+                                  keepdims=True)
+        if with_median:
+            t_after = Ti * (1.0 - alpha)
+            crossing = ((Ti > 0.5) & (t_after <= 0.5) &
+                        (alpha > 0)).astype(jnp.float32)
+            fst = crossing * (_incl_prefix_sum(crossing) == 1.0)
+            d_first = jnp.sum(fst * m, axis=1, keepdims=True)
+            any_c = jnp.sum(fst, axis=1, keepdims=True) > 0
+            med = jnp.where((med == 0.0) & any_c, d_first, med)
+        T_new = T_carry * jnp.exp(jnp.sum(logs, axis=1, keepdims=True))
+        out_ref[0] = jnp.concatenate(
+            [d_sum, a_sum, n_sum, med, dist, T_new], axis=1)
+
+
+def _bwd_kernel_flat(tile_sc, fg_ref, rays_ref, pix_ref, tbound_ref,
+                     outs_ref, g_ref, dF_ref, carry_ref,
+                     *, width, with_median, with_dist, n_chunks):
+    """Reverse flat-chunk grid (index maps run chunks back-to-front);
+    carry_ref [P, 3] scratch holds (S_phi, W, MD) suffix carries, reset
+    at each tile's deepest chunk."""
+    i = pl.program_id(0)
+    rev = n_chunks - 1 - i
+    t = tile_sc[rev]
+    nxt = tile_sc[jnp.minimum(rev + 1, n_chunks - 1)]
+    first = jnp.logical_or(i == 0, nxt != t)
+    rays = rays_ref[0]
+    pix = pix_ref[0]
+    p_tile = rays.shape[0]
+
+    @pl.when(first)
+    def _init():
+        carry_ref[...] = jnp.zeros((p_tile, 3), jnp.float32)
+
+    T_start = tbound_ref[0, 0][:, None]     # [P, 1]
+    live = jnp.max(T_start) > T_EPS
+
+    @pl.when(live)
+    def _compute():
+        gD = g_ref[0, :, 0:1]
+        gA = g_ref[0, :, 1:2]
+        gN = g_ref[0, :, 2:5]
+        gdist = g_ref[0, :, 6:7]
+        A_total = outs_ref[0, :, 1:2]
+        D_total = outs_ref[0, :, 0:1]
+        S_phi_carry = carry_ref[:, 0:1]
+        W_carry = carry_ref[:, 1:2]
+        MD_carry = carry_ref[:, 2:3]
+
+        F = fg_ref[0]
+        geo = _splat_geometry(F, rays, pix, width)
+        alpha, m = geo["alpha"], geo["m"]
+        Ti = T_start * jnp.exp(_excl_prefix_sum(jnp.log1p(-alpha)))
+        w = alpha * Ti
+        wm = w * m
+        rsuf = _strict_suffix_sum
+
+        n3 = geo["n3"]
+        nphi = (gN[:, 0:1] * n3[0:1, :] + gN[:, 1:2] * n3[1:2, :]
+                + gN[:, 2:3] * n3[2:3, :])
+        phi = gD * m + gA + nphi
+        if with_dist:
+            W_suf = rsuf(w) + W_carry
+            MD_suf = rsuf(wm) + MD_carry
+            A_prev = A_total - w - W_suf
+            D_prev = D_total - wm - MD_suf
+            phi = phi + gdist * (m * A_prev - D_prev + MD_suf
+                                 - m * W_suf)
+
+        S_phi = rsuf(w * phi) + S_phi_carry
+        one_m_a = jnp.maximum(1.0 - alpha, 1e-3)
+        galpha = Ti * phi - S_phi / one_m_a
+        galpha = jnp.where(alpha > 0, galpha, 0.0)
+        gm = w * gD
+        if with_dist:
+            gm = gm + w * gdist * (A_prev - W_suf)
+
+        not_capped = geo["alpha_raw"] < common.ALPHA_MAX
+        live_px = geo["ok"] & not_capped
+        g_opa_px = jnp.where(live_px, galpha * geo["g_exp"], 0.0)
+        g_rho = jnp.where(live_px,
+                          galpha * (-0.5) * geo["alpha_raw"], 0.0)
+        use2 = geo["use2"]
+        u3 = jnp.logical_not(use2)
+        g_u = jnp.where(u3, g_rho * 2.0 * geo["uu"], 0.0)
+        g_v = jnp.where(u3, g_rho * 2.0 * geo["vv"], 0.0)
+        g_t = (g_u * geo["A1"] + g_v * geo["A2"]
+               + jnp.where(u3, gm, 0.0))
+        g_np = g_t / geo["A3"]
+        g_A3 = -g_t * geo["tstar"] / geo["A3"]
+        g_A1 = g_u * geo["tstar"]
+        g_A2 = g_v * geo["tstar"]
+        g_dx = jnp.where(use2, g_rho * 2.0 *
+                         common.FILTER_INV_SQUARE * geo["dx"], 0.0)
+        g_dy = jnp.where(use2, g_rho * 2.0 *
+                         common.FILTER_INV_SQUARE * geo["dy"], 0.0)
+
+        def sum_px(x):
+            return jnp.sum(x, axis=0, keepdims=True)
+
+        def dot_rays(x):
+            return jnp.concatenate(
+                [jnp.sum(rays[:, k:k + 1] * x, axis=0, keepdims=True)
+                 for k in range(3)], axis=0)
+
+        s_g_np = sum_px(g_np)
+        s_g_u = sum_px(g_u)
+        s_g_v = sum_px(g_v)
+        d_gu = dot_rays(g_A1) - s_g_u * geo["p3"]
+        d_gv = dot_rays(g_A2) - s_g_v * geo["p3"]
+        gNw = jnp.concatenate(
+            [jnp.sum(gN[:, k:k + 1] * w, axis=0, keepdims=True)
+             for k in range(3)], axis=0)
+        d_n = dot_rays(g_A3) + s_g_np * geo["p3"] + gNw
+        d_p = (s_g_np * geo["n3"] - s_g_u * geo["gu3"]
+               - s_g_v * geo["gv3"])
+        dF_ref[0] = jnp.concatenate(
+            [d_p, d_gu, d_gv, d_n, sum_px(g_opa_px),
+             sum_px(jnp.where(use2, gm, 0.0)),
+             sum_px(-g_dx), sum_px(-g_dy)], axis=0)   # [16, C]
+
+        new_S = S_phi_carry + jnp.sum(w * phi, axis=1, keepdims=True)
+        if with_dist:
+            new_W = W_carry + jnp.sum(w, axis=1, keepdims=True)
+            new_MD = MD_carry + jnp.sum(wm, axis=1, keepdims=True)
+        else:
+            new_W, new_MD = W_carry, MD_carry
+        carry_ref[...] = jnp.concatenate([new_S, new_W, new_MD], axis=1)
+
+    @pl.when(jnp.logical_not(live))
+    def _dead():
+        dF_ref[0] = jnp.zeros_like(dF_ref[0])
+
+
+def _scatter_rows_kernel_flat(ids_ref, rows_ref, dF_ref):
+    """Flat-chunk RMW scatter: dF[ids[j]] += rows[j] for every slot of
+    this chunk (pad slots hit the dummy row, discarded by the caller)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dF_ref[...] = jnp.zeros_like(dF_ref)
+
+    chunk = rows_ref.shape[1]
+
+    def body(q, _):
+        j = q * 4
+        for u in range(4):
+            sid = ids_ref[0, 0, j + u]
+            dF_ref[pl.ds(sid, 1), :] = (dF_ref[pl.ds(sid, 1), :]
+                                        + rows_ref[0, pl.ds(j + u, 1), :])
+        return 0
+
+    jax.lax.fori_loop(0, chunk // 4, body, 0)
+
+
+def _scatter_rows_flat(dFg, flat_ids, n_rows):
+    """dFg [NC, 16, chunk] per-slot grads -> dF [n_rows, 16] by flat id."""
+    nc, _, chunk = dFg.shape
+    rows = jnp.swapaxes(dFg, 1, 2)              # [NC, chunk, 16]
+    return pl.pallas_call(
+        _scatter_rows_kernel_flat,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(nc,),
+            in_specs=[
+                pl.BlockSpec((1, 1, chunk), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, chunk, 16), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((n_rows, 16), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_rows, 16), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(flat_ids.reshape(nc, 1, chunk), rows)
+
+
+def _forward_flat(F, flat_ids, tile_of_chunk, rays_t, pix_t, *, tile_h,
+                  tile_w, chunk, width, with_median, with_dist):
+    """F [B, N+1, 16]; flat_ids [B, E] per-view slot ids; tile_of_chunk
+    [B, E/chunk] per-view tile routing; rays/pix [B, T, P, .]."""
+    b, n_plus1, _ = F.shape
+    E = flat_ids.shape[1]
+    n_tiles = rays_t.shape[1]
+    p_tile = tile_h * tile_w
+    nc = (b * E) // chunk
+    gidx = _flat_view_ids(flat_ids[:, None, :], n_plus1)      # [B*E]
+    flat = F.reshape(b * n_plus1, 16)[gidx]                   # [B*E, 16]
+    Fg = jnp.swapaxes(flat.reshape(nc, chunk, 16), 1, 2)      # [NC,16,C]
+    toc = (tile_of_chunk
+           + (jnp.arange(b, dtype=jnp.int32) * n_tiles)[:, None]
+           ).reshape(-1)                                      # [NC]
+    rays_f = rays_t.reshape(b * n_tiles, p_tile, 3)
+    pix_f = pix_t.reshape(b * n_tiles, p_tile, 2)
+    kernel = functools.partial(_fwd_kernel_flat, width=width,
+                               with_median=with_median,
+                               with_dist=with_dist)
+    out, tbound = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nc,),
+            in_specs=[
+                pl.BlockSpec((1, 16, chunk), lambda i, sc: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, p_tile, 3), lambda i, sc: (sc[i], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, p_tile, 2), lambda i, sc: (sc[i], 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, p_tile, 8), lambda i, sc: (sc[i], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, p_tile), lambda i, sc: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b * n_tiles, p_tile, 8), jnp.float32),
+            jax.ShapeDtypeStruct((nc, 8, p_tile), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(toc, Fg, rays_f, pix_f)
+    # tiles with zero binned chunks are never visited by the grid: their
+    # output block is uninitialized — substitute the empty-tile state
+    # (all zeros, T = 1)
+    visited = jnp.zeros((b * n_tiles,), bool).at[toc].set(True)
+    empty = jnp.zeros((p_tile, 8), jnp.float32).at[:, 7].set(1.0)
+    out = jnp.where(visited[:, None, None], out, empty[None])
+    return out.reshape(b, n_tiles, p_tile, 8), tbound, Fg, toc
+
+
+def _backward_flat(Fg, toc, rays_t, pix_t, tbound, outs, g_tiled,
+                   n_plus1, flat_ids, *, tile_h, tile_w, chunk, width,
+                   with_median, with_dist):
+    b, n_tiles = g_tiled.shape[:2]
+    p_tile = tile_h * tile_w
+    nc = Fg.shape[0]
+    rays_f = rays_t.reshape(b * n_tiles, p_tile, 3)
+    pix_f = pix_t.reshape(b * n_tiles, p_tile, 2)
+    outs_f = outs.reshape(b * n_tiles, p_tile, 8)
+    g_f = g_tiled.reshape(b * n_tiles, p_tile, 8)
+    kernel = functools.partial(_bwd_kernel_flat, width=width,
+                               with_median=with_median,
+                               with_dist=with_dist, n_chunks=nc)
+    rev = nc - 1
+    dFg = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nc,),
+            in_specs=[
+                pl.BlockSpec((1, 16, chunk),
+                             lambda i, sc: (rev - i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, p_tile, 3),
+                             lambda i, sc: (sc[rev - i], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, p_tile, 2),
+                             lambda i, sc: (sc[rev - i], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, p_tile),
+                             lambda i, sc: (rev - i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, p_tile, 8),
+                             lambda i, sc: (sc[rev - i], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, p_tile, 8),
+                             lambda i, sc: (sc[rev - i], 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 16, chunk),
+                                   lambda i, sc: (rev - i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((p_tile, 3), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((nc, 16, chunk), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(toc, Fg, rays_f, pix_f, tbound, outs_f, g_f)
+    gidx = _flat_view_ids(flat_ids[:, None, :], n_plus1)
+    dF = _scatter_rows_flat(dFg, gidx, flat_ids.shape[0] * n_plus1)
+    return dF.reshape(flat_ids.shape[0], n_plus1, 16)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _raster_core_flat(F, flat_ids, tile_of_chunk, rays_t, pix_t, static):
+    out, _, _, _ = _forward_flat(F, flat_ids, tile_of_chunk, rays_t,
+                                 pix_t, **_flat_kw(static))
+    return out
+
+
+def _flat_kw(static):
+    d = static._asdict()
+    return d
+
+
+def _raster_core_flat_fwd(F, flat_ids, tile_of_chunk, rays_t, pix_t,
+                          static):
+    out, tbound, Fg, toc = _forward_flat(F, flat_ids, tile_of_chunk,
+                                         rays_t, pix_t,
+                                         **_flat_kw(static))
+    return out, (F.shape[1], flat_ids, toc, rays_t, pix_t, tbound, out,
+                 Fg)
+
+
+def _raster_core_flat_bwd(static, res, g):
+    import numpy as np
+    n_plus1, flat_ids, toc, rays_t, pix_t, tbound, outs, Fg = res
+    dF = _backward_flat(Fg, toc, rays_t, pix_t, tbound, outs, g,
+                        n_plus1, flat_ids, **_flat_kw(static))
+    f0 = jax.dtypes.float0
+    return (dF, np.zeros(flat_ids.shape, f0),
+            np.zeros((flat_ids.shape[0],
+                      flat_ids.shape[1] // static.chunk), f0),
+            jnp.zeros_like(rays_t), jnp.zeros_like(pix_t))
+
+
+_raster_core_flat.defvjp(_raster_core_flat_fwd, _raster_core_flat_bwd)
+
+
+# ---------------------------------------------------------------------------
 # custom_vjp over the packed-feature rasterizer core
 # ---------------------------------------------------------------------------
 
@@ -648,9 +1047,34 @@ class TileAssignment(typing.NamedTuple):
     pix_t: jax.Array   # [T, 2, P]
 
 
+class FlatTiles(typing.NamedTuple):
+    """Frozen binning state for layout="flat" (compacted slot pool)."""
+    flat_ids: jax.Array       # [E] int32 (pad = N)
+    tile_of_chunk: jax.Array  # [E/chunk] int32
+    counts: jax.Array         # [T] int32 (per-tile real counts)
+    rays_t: jax.Array         # [T, P, 3]
+    pix_t: jax.Array          # [T, P, 2]
+
+
+def _flat_capacity_for(params) -> int:
+    """Static flat-pool budget: explicit when set, else half the [T, K]
+    slot count rounded to a chunk multiple (KITTI-scale scenes fill
+    ~40-45% of T*K, so overflow truncation stays rare)."""
+    n_tiles = (params.height // params.tile_h) * \
+        (params.width // params.tile_w)
+    if params.flat_capacity > 0:
+        cap = params.flat_capacity
+    else:
+        cap = n_tiles * params.tile_list_capacity // 2
+    return max(params.chunk, cap // params.chunk * params.chunk)
+
+
 def prepare_tiles(xyz, scaling, rotation, opacity, T_cw, K, params,
-                  margin_px: float = 0.0) -> TileAssignment:
-    """Binning only (non-differentiable): depth sort + tile lists + rays."""
+                  margin_px: float = 0.0):
+    """Binning only (non-differentiable): depth sort + tile lists + rays.
+
+    Returns a TileAssignment (layout="tiled") or FlatTiles
+    (layout="flat")."""
     height, width = params.height, params.width
     tile_h, tile_w = params.tile_h, params.tile_w
     packed = common.pack_surfels(xyz, scaling, rotation, opacity, T_cw, K)
@@ -661,6 +1085,14 @@ def prepare_tiles(xyz, scaling, rotation, opacity, T_cw, K, params,
                                 packed.radius_px + margin_px, 0.0),
             extent_px=jnp.where(packed.extent_px > 0,
                                 packed.extent_px + margin_px, 0.0))
+    rays_all, pix_all = binning.tile_rays(K, height, width, tile_h, tile_w)
+    if params.layout == "flat":
+        flat_ids, toc, _, counts = binning.build_flat_lists(
+            packed, height, width, tile_h, tile_w,
+            params.tile_list_capacity, params.chunk,
+            _flat_capacity_for(params), params.cap_ty, params.cap_tx)
+        return FlatTiles(flat_ids=flat_ids, tile_of_chunk=toc,
+                         counts=counts, rays_t=rays_all, pix_t=pix_all)
     if params.binner == "sorted":
         lists, counts, _ = binning.build_tile_lists_sorted(
             packed, height, width, tile_h, tile_w,
@@ -669,7 +1101,6 @@ def prepare_tiles(xyz, scaling, rotation, opacity, T_cw, K, params,
         lists, counts, _ = binning.build_tile_lists(
             packed, height, width, tile_h, tile_w,
             params.tile_list_capacity)
-    rays_all, pix_all = binning.tile_rays(K, height, width, tile_h, tile_w)
     return TileAssignment(lists=lists, counts=counts,
                           rays_t=rays_all, pix_t=pix_all)
 
@@ -711,13 +1142,17 @@ def rasterize_pallas_batched(xyz, scaling, rotation, opacity, T_cw, K,
     if tiles is None:
         tiles = prepare_tiles_batched(xyz, scaling, rotation, opacity,
                                       T_cw, K, params)
-    lists, counts, rays_t, pix_t = tiles
 
     F = jax.vmap(binning.pack_features)(packed)     # [B, N+1, 16]
     static = _StaticArgs(tile_h=tile_h, tile_w=tile_w, chunk=params.chunk,
                          width=width, with_median=params.with_median,
                          with_dist=params.with_dist)
-    out = _raster_core(F, lists, counts, rays_t, pix_t, static)
+    if isinstance(tiles, FlatTiles):
+        out = _raster_core_flat(F, tiles.flat_ids, tiles.tile_of_chunk,
+                                tiles.rays_t, tiles.pix_t, static)
+    else:
+        lists, counts, rays_t, pix_t = tiles
+        out = _raster_core(F, lists, counts, rays_t, pix_t, static)
 
     chans = jax.vmap(
         lambda o: binning.untile_px(o, height, width, tile_h, tile_w))(out)
@@ -744,14 +1179,20 @@ def rasterize_pallas(xyz, scaling, rotation, opacity, T_cw, K, params,
     if tiles is None:
         tiles = prepare_tiles(xyz, scaling, rotation, opacity, T_cw, K,
                               params)
-    lists, counts, rays_t, pix_t = tiles
 
     F = binning.pack_features(packed)
     static = _StaticArgs(tile_h=tile_h, tile_w=tile_w, chunk=params.chunk,
                          width=width, with_median=params.with_median,
                          with_dist=params.with_dist)
-    out = _raster_core(F[None], lists[None], counts[None], rays_t[None],
-                       pix_t[None], static)[0]
+    if isinstance(tiles, FlatTiles):
+        out = _raster_core_flat(F[None], tiles.flat_ids[None],
+                                tiles.tile_of_chunk[None],
+                                tiles.rays_t[None], tiles.pix_t[None],
+                                static)[0]
+    else:
+        lists, counts, rays_t, pix_t = tiles
+        out = _raster_core(F[None], lists[None], counts[None],
+                           rays_t[None], pix_t[None], static)[0]
 
     chans = binning.untile_px(out, height, width, tile_h, tile_w)
     return {

@@ -254,3 +254,88 @@ def test_two_tier_binning_matches_full_window(rng):
                                                 two_tier=True)
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+# ---------------------------------------------------------------------------
+# layout="flat": compacted slot pool (binning.build_flat_lists +
+# _raster_core_flat) — must match the golden renderer and the tiled layout
+# ---------------------------------------------------------------------------
+
+FLAT = RenderParams(height=H, width=W, backend="pallas", chunk=128,
+                    tile_h=8, tile_w=32, tile_list_capacity=512,
+                    layout="flat", flat_capacity=16 * 512)
+
+
+def test_flat_forward_matches_golden_and_tiled(rng):
+    args = _scene(rng, n=600)
+    ref = rasterize_jnp(*args, H, W)
+    out_f = rasterize_pallas(*args, FLAT)
+    out_t = rasterize_pallas(*args, FLAT._replace(layout="tiled"))
+    for key, tol in [("alpha", 2e-5), ("depth_sum", 2e-4),
+                     ("normal_sum", 2e-4), ("dist", 3e-4),
+                     ("final_T", 2e-5)]:
+        np.testing.assert_allclose(
+            np.asarray(out_f[key]), np.asarray(ref[key]), atol=tol,
+            err_msg=f"flat-vs-golden {key}")
+        np.testing.assert_allclose(
+            np.asarray(out_f[key]), np.asarray(out_t[key]), atol=tol,
+            err_msg=f"flat-vs-tiled {key}")
+
+
+def test_flat_gradient_parity(rng):
+    args = _scene(rng, n=150)
+    p = FLAT._replace(with_median=False)
+
+    def loss(fn):
+        def f(xyz, s, q, o):
+            c = fn(xyz, s, q, o)
+            return (jnp.sum(c["depth_sum"]) * 0.1 + jnp.sum(c["alpha"])
+                    + 0.5 * jnp.sum(c["normal_sum"])
+                    + 0.2 * jnp.sum(c["dist"]))
+        return f
+
+    g_ref = jax.grad(loss(lambda *a: rasterize_jnp(*a, args[4], args[5],
+                                                   H, W)),
+                     argnums=(0, 1, 2, 3))(*args[:4])
+    g_flat = jax.grad(loss(lambda *a: rasterize_pallas(
+        *a, args[4], args[5], p)), argnums=(0, 1, 2, 3))(*args[:4])
+    for name, gr, gp in zip(("xyz", "scales", "quat", "opacity"),
+                            g_ref, g_flat):
+        gr, gp = np.asarray(gr), np.asarray(gp)
+        scale = float(np.abs(gr).max()) + 1e-6
+        np.testing.assert_allclose(gp, gr, atol=3e-5 * max(scale, 1.0),
+                                   err_msg=name)
+
+
+def test_flat_budget_truncation_drops_deepest(rng):
+    """An undersized flat budget must fill tiles greedily in tile order
+    and keep each surviving tile's NEAREST entries (depth order), never
+    corrupt them."""
+    from splatloam_tpu.ops.rasterizer import binning, common
+    args = _scene(rng, n=600)
+    packed = common.pack_surfels(*args)
+    lists, counts, _ = binning.build_tile_lists_sorted(
+        packed, H, W, 8, 32, 512)
+    chunk = 128
+    budget = 6 * chunk
+    flat_ids, toc, starts, counts2 = binning.build_flat_lists(
+        packed, H, W, 8, 32, 512, chunk, budget)
+    counts, counts2 = np.asarray(counts), np.asarray(counts2)
+    lists, flat_ids = np.asarray(lists), np.asarray(flat_ids)
+    starts = np.asarray(starts)
+    assert (counts2 <= counts).all() and counts2.sum() > 0
+    for t in range(lists.shape[0]):
+        seg = flat_ids[starts[t]:starts[t] + counts2[t]]
+        np.testing.assert_array_equal(seg, lists[t, :counts2[t]])
+
+
+def test_flat_empty_scene(rng):
+    """Zero-opacity pool: every tile unvisited or self-neutralized; the
+    render must be exactly the empty state (alpha 0, T 1), not NaN."""
+    args = _scene(rng, n=64)
+    out = rasterize_pallas(args[0], args[1], args[2],
+                           jnp.zeros_like(args[3]), args[4], args[5],
+                           FLAT)
+    assert np.isfinite(np.asarray(out["depth_sum"])).all()
+    np.testing.assert_array_equal(np.asarray(out["alpha"]), 0.0)
+    np.testing.assert_array_equal(np.asarray(out["final_T"]), 1.0)

@@ -88,6 +88,9 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--median", action="store_true")
     ap.add_argument("--dist", action="store_true")
+    ap.add_argument("--layout", default="tiled",
+                    choices=["tiled", "flat"])
+    ap.add_argument("--flat-cap", type=int, default=0)
     ap.add_argument("--views", type=int, default=1,
                     help="batched multi-view rendering (B poses, "
                          "shared surfels, one kernel grid)")
@@ -105,7 +108,8 @@ def main():
     params = RenderParams(height=H, width=W, backend="pallas",
                           chunk=opts.chunk, tile_h=opts.tile_h,
                           tile_w=opts.tile_w, tile_list_capacity=opts.cap,
-                          with_median=opts.median, with_dist=opts.dist)
+                          with_median=opts.median, with_dist=opts.dist,
+                          layout=opts.layout, flat_capacity=opts.flat_cap)
     rng = np.random.default_rng(0)
     args = bench.make_scene(rng, opts.n, H, W)
 
@@ -113,7 +117,7 @@ def main():
         return run_multiview(opts, params, args)
 
     tiles = prepare_tiles(*args, params, margin_px=4.0)
-    jax.block_until_ready(tiles.lists)
+    jax.block_until_ready(tiles.counts)
     occ = np.asarray(tiles.counts)
     print(f"# tiles: mean count {occ.mean():.0f}, max {occ.max()}, "
           f"pairs {occ.sum() * opts.tile_h * opts.tile_w / 1e6:.0f}M")
