@@ -23,17 +23,34 @@ PERCENTAGES = (0.02, 0.03, 0.05, 0.08, 0.13, 0.21, 0.34, 0.55)
 
 def associate_trajectories(ref_ts, ref_poses, est_ts, est_poses,
                            max_diff: float = 0.05):
-    """Greedy nearest-timestamp matching (evo sync.associate equivalent)."""
+    """Timestamp association with evo's documented semantics.
+
+    evo ``sync.associate_trajectories`` implements the TUM RGB-D tools'
+    ``associate.py`` algorithm: enumerate ALL candidate pairs within
+    ``max_diff``, sort them globally by |time difference|, and greedily
+    accept pairs whose endpoints are both still unmatched.  (A
+    first-come nearest-neighbor loop — the previous implementation —
+    diverges on near-duplicate timestamps: an early estimate can steal a
+    reference stamp that a later estimate matches strictly better.)
+    Matches are returned in estimate-timestamp order, as evo does.
+    """
     ref_ts = np.asarray(ref_ts, np.float64)
     est_ts = np.asarray(est_ts, np.float64)
-    matched_ref, matched_est = [], []
-    used = set()
-    for i, t in enumerate(est_ts):
-        j = int(np.argmin(np.abs(ref_ts - t)))
-        if abs(ref_ts[j] - t) <= max_diff and j not in used:
-            used.add(j)
-            matched_ref.append(ref_poses[j])
-            matched_est.append(est_poses[i])
+    diff = np.abs(ref_ts[None, :] - est_ts[:, None])    # [E, R]
+    ei, ri = np.nonzero(diff <= max_diff)
+    order = np.argsort(diff[ei, ri], kind="stable")
+    used_ref, used_est = set(), set()
+    picked = []
+    for k in order:
+        i, j = int(ei[k]), int(ri[k])
+        if i in used_est or j in used_ref:
+            continue
+        used_est.add(i)
+        used_ref.add(j)
+        picked.append((i, j))
+    picked.sort()                                       # est-stamp order
+    matched_ref = [ref_poses[j] for _, j in picked]
+    matched_est = [est_poses[i] for i, _ in picked]
     return matched_ref, matched_est
 
 

@@ -83,3 +83,43 @@ def test_mesh_sampling_and_downsample(rng):
     assert np.all(pts[:, 0] + pts[:, 1] <= 1 + 1e-9)
     down = voxel_downsample(pts, 0.2)
     assert len(down) < 40
+
+
+def test_associate_trajectories_tum_semantics():
+    """Exact-match test against evo's documented association (the TUM
+    RGB-D tools' associate.py: all pairs within max_diff, globally
+    sorted by |dt|, greedy unique endpoints).  A first-come
+    nearest-neighbor loop fails this on near-duplicate stamps: est
+    t=0.09 would steal ref t=0.10 from the exact est t=0.10 match."""
+    from splatloam_tpu.eval.odometry import associate_trajectories
+    import numpy as np
+
+    def pose(x):
+        T = np.eye(4)
+        T[0, 3] = x
+        return T
+
+    ref_ts = [0.0, 0.10, 0.20]
+    est_ts = [0.09, 0.10]
+    ref_poses = [pose(10 + i) for i in range(3)]
+    est_poses = [pose(20 + i) for i in range(2)]
+    ref, est = associate_trajectories(ref_ts, ref_poses, est_ts,
+                                      est_poses, max_diff=0.05)
+    # global greedy: (0.10, 0.10) wins at |dt|=0; est 0.09's only other
+    # candidate (ref 0.0 at 0.09, ref 0.2 at 0.11) exceeds max_diff
+    assert len(ref) == 1
+    assert ref[0][0, 3] == 11 and est[0][0, 3] == 21
+
+    # dense near-duplicates: every exact pair must win over off-by-one
+    ref_ts = [0.0, 0.1, 0.2, 0.3]
+    est_ts = [0.102, 0.1, 0.3, 0.299]
+    ref_p = [pose(i) for i in range(4)]
+    est_p = [pose(10 + i) for i in range(4)]
+    ref, est = associate_trajectories(ref_ts, ref_p, est_ts, est_p,
+                                      max_diff=0.05)
+    got = sorted((e[0, 3], r[0, 3]) for r, e in zip(ref, est))
+    # est 0.1 <-> ref 0.1 (exact), est 0.102 <-> ref ... only 0.1 in
+    # range but taken -> est 0.102 has 0.1 (used) within 0.05; 0.0/0.2
+    # are 0.098/0.102 out of range -> dropped.  est 0.3 exact, est
+    # 0.299 -> ref 0.3 used, others out of range -> dropped.
+    assert got == [(11.0, 1.0), (12.0, 3.0)]
