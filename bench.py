@@ -223,9 +223,11 @@ def run_throughput(budget_s):
     backend = "pallas" if on_tpu else "jnp"
     # the mapper's production configuration: median/dist channels off (not
     # in the loss), tile lists rebuilt once per REBIN-iteration block
+    # production kernel configuration (= ComputeConfig defaults; the
+    # round-4 tile sweep moved 8x32/c256/3072 -> 4x16/c128/768)
     params = RenderParams(height=H, width=W, backend=backend,
-                          chunk=256, tile_h=8, tile_w=32,
-                          tile_list_capacity=3072,
+                          chunk=128, tile_h=4, tile_w=16,
+                          tile_list_capacity=768,
                           with_median=False, with_dist=False)
 
     if not on_tpu:

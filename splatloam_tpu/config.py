@@ -236,14 +236,16 @@ class ComputeConfig:
     initial_capacity: int = 32768
     # Static keyframe-slot count per submap (pad-to-fixed for jit stability).
     keyframe_capacity: int = 32
-    # Rasterizer tile size (rows, cols): small, angularly-square-ish tiles
-    # minimize wasted surfel x pixel work (measured on v5e).
-    tile_h: int = 8
-    tile_w: int = 32
+    # Rasterizer tile size (rows, cols): smaller tiles cut wasted
+    # surfel x pixel pairs faster than they add binning duplication —
+    # the round-4 sweep on v5e (100k surfels, 64x1024): 8x32/c256
+    # 22.6 ms/iter, 8x16/c256 19.8, 4x32/c256 18.9, 4x16/c128 18.8.
+    tile_h: int = 4
+    tile_w: int = 16
     # Per-tile surfel list capacity (depth-ordered; overflow drops farthest).
-    tile_list_capacity: int = 3072
+    tile_list_capacity: int = 768
     # Chunk of surfels composited per kernel step.
-    chunk: int = 256
+    chunk: int = 128
     # Max anisotropic splat radius in multiples of sigma used for tile binning.
     sigma_cut: float = 3.0
     # Rebuild tile lists every N mapping iterations (1 = exact per-step

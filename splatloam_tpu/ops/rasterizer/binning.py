@@ -287,6 +287,53 @@ def build_flat_lists(packed: common.PackedSurfels, height: int, width: int,
     return flat_ids, tile_of_chunk, start_clip.astype(jnp.int32), counts2
 
 
+@partial(jax.jit, static_argnames=("n_surfels", "m", "ov_cap"))
+def build_scatter_plan(lists: jax.Array, n_surfels: int, m: int = 4,
+                       ov_cap: int = 0):
+    """Occurrence tables for the gather-sum gradient reduction.
+
+    The per-iteration gradient scatter (dFg rows -> per-surfel dF) is the
+    hot loop's single largest cost when done as an in-kernel RMW pool
+    (measured ~9 ms/iter in context at 100k/64x1024 on v5e, vs ~2 ms for
+    this plan).  Instead, invert the tile lists ONCE per rebin: for each
+    surfel, the flat slot positions of its first ``m`` occurrences
+    (``occ`` [N+1, m], dummy slot = T*K), plus a compacted overflow list
+    of (slot, id) pairs for occurrences beyond m.  The per-iteration
+    reduction is then ONE [N+1, m]-row gather + a trailing-axis sum —
+    exact per-surfel tree sums, no read-modify-write — with the few
+    overflow rows folded in by the count-aware RMW mini-kernel.
+
+    Returns (occ [N+1, m] int32, ov_slots [ov_cap] int32 (pad T*K),
+    ov_ids [ov_cap] int32 (pad n_surfels), n_ov scalar int32).
+    """
+    tk = lists.size
+    n = n_surfels
+    if ov_cap <= 0:
+        ov_cap = max(8, tk // 4)
+    ids = lists.reshape(-1)
+    order = jnp.argsort(ids)
+    ids_sorted = ids[order]
+    starts = jnp.searchsorted(ids_sorted,
+                              jnp.arange(n + 2, dtype=jnp.int32))
+    cnt = starts[1:] - starts[:-1]                      # [N+1]
+    j = jnp.arange(m, dtype=jnp.int32)
+    idx = starts[:-1, None] + j[None, :]
+    valid = j[None, :] < jnp.minimum(cnt, m)[:, None]
+    occ = jnp.where(valid, order[jnp.clip(idx, 0, tk - 1)], tk)
+    # overflow: occurrence rank >= m, excluding the padding id n (its
+    # dFg rows are zero and its dF row is discarded anyway)
+    r = jnp.arange(tk, dtype=jnp.int32) - starts[:-1][ids_sorted]
+    is_ov = (r >= m) & (ids_sorted != n)
+    ovpos = jnp.cumsum(is_ov) - 1
+    wpos = jnp.where(is_ov, ovpos, ov_cap)
+    ov_slots = jnp.full((ov_cap,), tk, jnp.int32).at[wpos].set(
+        order, mode="drop")
+    ov_ids = jnp.full((ov_cap,), n, jnp.int32).at[wpos].set(
+        ids_sorted, mode="drop")
+    n_ov = jnp.minimum(jnp.sum(is_ov), ov_cap).astype(jnp.int32)
+    return (occ.astype(jnp.int32), ov_slots, ov_ids, n_ov)
+
+
 @partial(jax.jit, static_argnames=("height", "width", "tile_h", "tile_w"))
 def tile_rays(K: jax.Array, height: int, width: int, tile_h: int,
               tile_w: int):

@@ -460,6 +460,94 @@ def _flat_view_ids(lists, n_plus1):
     return (lists + offs).reshape(-1)
 
 
+class ScatterPlan(typing.NamedTuple):
+    """Rebin-time occurrence tables for the gather-sum gradient
+    reduction (binning.build_scatter_plan); leading [B] axis per view."""
+    occ: jax.Array       # [B, N+1, M] flat slot ids (pad = T*K)
+    ov_slots: jax.Array  # [B, OvCap]
+    ov_ids: jax.Array    # [B, OvCap] (pad = N)
+    n_ov: jax.Array      # [B]
+
+
+def _scatter_overflow_kernel(nov_ref, ids_ref, rows_ref, dF_ref):
+    """Count-aware RMW for the (few) occurrences beyond the occ table:
+    dF[bi, ids[bi, ci, j]] += rows[bi, ci, j] for j < remaining count.
+    The [1, N+1, 16] output block is the per-view pool, revisited across
+    the chunk axis (ids are view-local)."""
+    bi = pl.program_id(0)
+    ci = pl.program_id(1)
+    del bi
+
+    @pl.when(ci == 0)
+    def _init():
+        dF_ref[...] = jnp.zeros_like(dF_ref)
+
+    ch = rows_ref.shape[2]
+    todo = jnp.clip(nov_ref[pl.program_id(0)] - ci * ch, 0, ch)
+
+    def body(q, _):
+        j = q * 4
+        for u in range(4):
+            sid = ids_ref[0, 0, 0, j + u]
+            dF_ref[0, pl.ds(sid, 1), :] = (
+                dF_ref[0, pl.ds(sid, 1), :]
+                + rows_ref[0, 0, pl.ds(j + u, 1), :])
+        return 0
+
+    jax.lax.fori_loop(0, (todo + 3) // 4, body, 0)
+
+
+_OV_CHUNK = 512
+
+
+def _scatter_with_plan(dFg, plan: ScatterPlan, b: int, n_plus1: int):
+    """dFg [B*T, 16, K] -> dF [B, N+1, 16] via the occurrence tables:
+    one [B*(N+1)*M]-row gather + an exact per-surfel tree sum, plus the
+    count-aware overflow RMW.  Replaces the whole-pool RMW kernel
+    (measured 9 ms -> ~2.5 ms per iteration at 100k/64x1024, v5e): the
+    issue-bound cost drops to (N+1)*M + overflow rows, and every
+    per-surfel sum is an exact short tree reduction."""
+    bt, _, K = dFg.shape
+    tk = (bt // b) * K
+    m = plan.occ.shape[-1]
+    rows = jnp.swapaxes(dFg, 1, 2).reshape(b * tk, 16)
+    rows1 = jnp.concatenate([rows, jnp.zeros((1, 16), jnp.float32)])
+    dummy = b * tk
+    boff = jnp.arange(b, dtype=jnp.int32) * tk
+    occ_g = jnp.where(plan.occ == tk, dummy,
+                      plan.occ + boff[:, None, None])
+    dF = jnp.sum(rows1[occ_g.reshape(-1)].reshape(b, n_plus1, m, 16),
+                 axis=2)
+
+    ov_g = jnp.where(plan.ov_slots == tk, dummy,
+                     plan.ov_slots + boff[:, None])
+    ov_rows = rows1[ov_g.reshape(-1)].reshape(
+        b, -1, _OV_CHUNK, 16)                       # [B, C, CH, 16]
+    ov_ids = plan.ov_ids.reshape(b, -1, 1, _OV_CHUNK)
+    n_chunks = ov_ids.shape[1]
+    ovpool = pl.pallas_call(
+        _scatter_overflow_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, n_chunks),
+            in_specs=[
+                pl.BlockSpec((1, 1, 1, _OV_CHUNK), lambda bi, ci, *_:
+                             (bi, ci, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, _OV_CHUNK, 16), lambda bi, ci, *_:
+                             (bi, ci, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, n_plus1, 16), lambda bi, ci, *_:
+                                   (bi, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n_plus1, 16), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(plan.n_ov.reshape(b), ov_ids, ov_rows)
+    return dF + ovpool
+
+
 def _gather_features(F, lists):
     """F [B, N+1, 16], lists [B, T, K] -> Fg [B*T, 16, K] via ONE flat
     gather (vmapped gathers lower poorly on TPU)."""
@@ -522,7 +610,7 @@ def _forward_tiled(F, lists, counts, rays_t, pix_t, *, tile_h, tile_w,
 
 def _backward_tiled(F, lists, counts, rays_t, pix_t, tbound, outs, g_tiled,
                     *, tile_h, tile_w, chunk, width, with_median,
-                    with_dist, Fg=None):
+                    with_dist, Fg=None, plan=None):
     """Batched like _forward_tiled; returns dF [B, N+1, 16].
 
     ``Fg`` (the per-tile gathered features from the forward) is reused when
@@ -575,6 +663,11 @@ def _backward_tiled(F, lists, counts, rays_t, pix_t, tbound, outs, g_tiled,
     )(counts, Fg, rays_t, pix_t, tbound, outs, g_tiled)
     # scatter per-tile-entry grads back to surfels (atomics-free)
     n_plus1 = F.shape[1]
+    if "fakescatter" in _ABLATE:   # perf bisection: RMW scatter cost
+        return jnp.zeros((b, n_plus1, 16), jnp.float32
+                         ).at[:, 0].add(jnp.sum(dFg, axis=(0, 2))[None])
+    if plan is not None:
+        return _scatter_with_plan(dFg, plan, b, n_plus1)
     if b * n_plus1 * 16 * 4 <= 80 * 2 ** 20:
         # in-kernel RMW scatter over a VMEM-resident [B*(N+1), 16] pool
         # (see _scatter_rows_kernel); all views share one kernel grid
@@ -998,27 +1091,33 @@ _raster_core_flat.defvjp(_raster_core_flat_fwd, _raster_core_flat_bwd)
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _raster_core(F, lists, counts, rays_t, pix_t, static):
+def _raster_core(F, lists, counts, rays_t, pix_t, static, plan=None):
     out, _, _ = _forward_tiled(F, lists, counts, rays_t, pix_t,
                                **static._asdict())
     return out
 
 
-def _raster_core_fwd(F, lists, counts, rays_t, pix_t, static):
+def _raster_core_fwd(F, lists, counts, rays_t, pix_t, static, plan=None):
     out, tbound, Fg = _forward_tiled(F, lists, counts, rays_t, pix_t,
                                      **static._asdict())
-    return out, (F, lists, counts, rays_t, pix_t, tbound, out, Fg)
+    return out, (F, lists, counts, rays_t, pix_t, tbound, out, Fg, plan)
 
 
 def _raster_core_bwd(static, res, g):
     import numpy as np
-    F, lists, counts, rays_t, pix_t, tbound, outs, Fg = res
-    dF = _backward_tiled(F, lists, counts, rays_t, pix_t, tbound, outs, g,
-                         **static._asdict(), Fg=Fg)
+    F, lists, counts, rays_t, pix_t, tbound, outs, Fg, plan = res
+    if "nobwd" in _ABLATE:      # perf bisection: cost of everything below
+        dF = jnp.zeros_like(F) + jnp.sum(g) * 0.0
+    else:
+        dF = _backward_tiled(F, lists, counts, rays_t, pix_t, tbound,
+                             outs, g, **static._asdict(), Fg=Fg,
+                             plan=plan)
     # integer args take symbolic-zero (float0) cotangents
     f0 = jax.dtypes.float0
+    d_plan = jax.tree_util.tree_map(
+        lambda x: np.zeros(x.shape, f0), plan)
     return (dF, np.zeros(lists.shape, f0), np.zeros(counts.shape, f0),
-            jnp.zeros_like(rays_t), jnp.zeros_like(pix_t))
+            jnp.zeros_like(rays_t), jnp.zeros_like(pix_t), d_plan)
 
 
 _raster_core.defvjp(_raster_core_fwd, _raster_core_bwd)
@@ -1045,6 +1144,9 @@ class TileAssignment(typing.NamedTuple):
     counts: jax.Array  # [T] int32
     rays_t: jax.Array  # [T, 3, P]
     pix_t: jax.Array   # [T, 2, P]
+    # occurrence tables for the gather-sum gradient reduction (None ->
+    # the RMW-kernel fallback; sharded tile-subset callers use that)
+    plan: "ScatterPlan | None" = None
 
 
 class FlatTiles(typing.NamedTuple):
@@ -1101,8 +1203,14 @@ def prepare_tiles(xyz, scaling, rotation, opacity, T_cw, K, params,
         lists, counts, _ = binning.build_tile_lists(
             packed, height, width, tile_h, tile_w,
             params.tile_list_capacity)
+    ov_cap = max(_OV_CHUNK,
+                 lists.size // 6 // _OV_CHUNK * _OV_CHUNK)
+    occ, ov_slots, ov_ids, n_ov = binning.build_scatter_plan(
+        lists, xyz.shape[0], m=4, ov_cap=ov_cap)
+    plan = ScatterPlan(occ=occ, ov_slots=ov_slots, ov_ids=ov_ids,
+                       n_ov=n_ov)
     return TileAssignment(lists=lists, counts=counts,
-                          rays_t=rays_all, pix_t=pix_all)
+                          rays_t=rays_all, pix_t=pix_all, plan=plan)
 
 
 def prepare_tiles_batched(xyz, scaling, rotation, opacity, T_cw, K,
@@ -1151,8 +1259,8 @@ def rasterize_pallas_batched(xyz, scaling, rotation, opacity, T_cw, K,
         out = _raster_core_flat(F, tiles.flat_ids, tiles.tile_of_chunk,
                                 tiles.rays_t, tiles.pix_t, static)
     else:
-        lists, counts, rays_t, pix_t = tiles
-        out = _raster_core(F, lists, counts, rays_t, pix_t, static)
+        out = _raster_core(F, tiles.lists, tiles.counts, tiles.rays_t,
+                           tiles.pix_t, static, tiles.plan)
 
     chans = jax.vmap(
         lambda o: binning.untile_px(o, height, width, tile_h, tile_w))(out)
@@ -1190,9 +1298,11 @@ def rasterize_pallas(xyz, scaling, rotation, opacity, T_cw, K, params,
                                 tiles.rays_t[None], tiles.pix_t[None],
                                 static)[0]
     else:
-        lists, counts, rays_t, pix_t = tiles
-        out = _raster_core(F[None], lists[None], counts[None],
-                           rays_t[None], pix_t[None], static)[0]
+        plan = (None if tiles.plan is None else jax.tree_util.tree_map(
+            lambda x: x[None], tiles.plan))
+        out = _raster_core(F[None], tiles.lists[None], tiles.counts[None],
+                           tiles.rays_t[None], tiles.pix_t[None], static,
+                           plan)[0]
 
     chans = binning.untile_px(out, height, width, tile_h, tile_w)
     return {
