@@ -359,9 +359,16 @@ def sharded_optimize_tiles(mesh: Mesh, params: RenderParams,
             mat = jnp.where(odd, mat[:, ::-1], mat)          # [t_local, n]
             idx = jax.lax.axis_index("data")
             mine = jnp.take(mat, idx, axis=1)                # [t_local]
+            sub_lists = tiles.lists[mine]
+            from ..ops.rasterizer import binning as BN2
+            plan = PR.ScatterPlan(*BN2.build_scatter_plan(
+                sub_lists, full.xyz.shape[0], m=4,
+                ov_cap=max(PR._OV_CHUNK, sub_lists.size // 6
+                           // PR._OV_CHUNK * PR._OV_CHUNK)))
             sub = PR.TileAssignment(
-                lists=tiles.lists[mine], counts=tiles.counts[mine],
-                rays_t=tiles.rays_t[mine], pix_t=tiles.pix_t[mine])
+                lists=sub_lists, counts=tiles.counts[mine],
+                rays_t=tiles.rays_t[mine], pix_t=tiles.pix_t[mine],
+                plan=plan)
             # gathered tile row d*t_local+j holds global tile mat[j, d]
             scatter_perm = mat.T.reshape(-1)                 # [n_tiles]
             return sub, mine, scatter_perm
@@ -387,9 +394,13 @@ def sharded_optimize_tiles(mesh: Mesh, params: RenderParams,
                                          full_params.quat, opacity,
                                          T_cw, K)
                 F = BN.pack_features(packed)
+                plan1 = (None if sub.plan is None else
+                         jax.tree_util.tree_map(lambda x: x[None],
+                                                sub.plan))
                 out = PR._raster_core(F[None], sub.lists[None],
                                       sub.counts[None], sub.rays_t[None],
-                                      sub.pix_t[None], static)[0]
+                                      sub.pix_t[None], static,
+                                      plan1)[0]
                 alpha = out[..., 1]                          # [t, P]
                 mask = alpha > 0.0
                 safe = jnp.where(mask, alpha, 1.0)
@@ -536,9 +547,15 @@ def sharded_optimize_ring(mesh: Mesh, params: RenderParams,
             mat = jnp.where(odd, mat[:, ::-1], mat)
             idx = jax.lax.axis_index("data")
             mine = jnp.take(mat, idx, axis=1)
+            sub_lists = tiles.lists[mine]
+            plan = PR.ScatterPlan(*BN.build_scatter_plan(
+                sub_lists, surf.params.xyz.shape[0], m=4,
+                ov_cap=max(PR._OV_CHUNK, sub_lists.size // 6
+                           // PR._OV_CHUNK * PR._OV_CHUNK)))
             sub = PR.TileAssignment(
-                lists=tiles.lists[mine], counts=tiles.counts[mine],
-                rays_t=tiles.rays_t[mine], pix_t=tiles.pix_t[mine])
+                lists=sub_lists, counts=tiles.counts[mine],
+                rays_t=tiles.rays_t[mine], pix_t=tiles.pix_t[mine],
+                plan=plan)
             scatter_perm = mat.T.reshape(-1)
             return sub, mine, scatter_perm
 
@@ -562,9 +579,13 @@ def sharded_optimize_ring(mesh: Mesh, params: RenderParams,
                                          band_params.quat, opacity,
                                          T_cw, K)
                 F = BN.pack_features(packed)
+                plan1 = (None if sub.plan is None else
+                         jax.tree_util.tree_map(lambda x: x[None],
+                                                sub.plan))
                 out = PR._raster_core(F[None], sub.lists[None],
                                       sub.counts[None], sub.rays_t[None],
-                                      sub.pix_t[None], static)[0]
+                                      sub.pix_t[None], static,
+                                      plan1)[0]
                 seg = dict(T=out[..., 7], depth_sum=out[..., 0],
                            alpha=out[..., 1], normal_sum=out[..., 2:5])
                 ch = ring_fold(seg, "model", n_model)
