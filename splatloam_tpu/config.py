@@ -254,6 +254,10 @@ class ComputeConfig:
     # Binning radius margin (pixels) absorbing parameter drift between
     # rebinning points.
     bin_margin_px: float = 1.5
+    # Gradient reduction: "rmw" (in-kernel read-modify-write pool) or
+    # "plan" (rebin-time occurrence tables + gather-sum) — both exact;
+    # rmw measured faster end-to-end on v5e (see docs/PERF.md).
+    scatter: str = "rmw"
 
 
 @dataclass

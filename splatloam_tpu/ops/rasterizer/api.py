@@ -45,6 +45,13 @@ class RenderParams(NamedTuple):
     layout: str = "tiled"
     # static flat-pool slot budget (chunk multiple); 0 = T*K/2
     flat_capacity: int = 0
+    # gradient reduction: "rmw" = in-kernel read-modify-write pool,
+    # "plan" = rebin-time occurrence tables + gather-sum.  Both measured
+    # e2e on v5e at 100k/64x1024: rmw 17.6 ms/iter, plan 23.5 — the
+    # plan's rebin-time construction (argsort + compaction scatters over
+    # T*K slots) costs more than the RMW it replaces; kept as an option
+    # for high-rebin / low-duplication regimes (docs/PERF.md).
+    scatter: str = "rmw"
 
 
 def _resolve_backend(backend: str) -> str:

@@ -516,8 +516,11 @@ def _scatter_with_plan(dFg, plan: ScatterPlan, b: int, n_plus1: int):
     boff = jnp.arange(b, dtype=jnp.int32) * tk
     occ_g = jnp.where(plan.occ == tk, dummy,
                       plan.occ + boff[:, None, None])
-    dF = jnp.sum(rows1[occ_g.reshape(-1)].reshape(b, n_plus1, m, 16),
-                 axis=2)
+    if "noocc" in _ABLATE:   # perf bisection: occ gather-sum cost
+        dF = jnp.zeros((b, n_plus1, 16), jnp.float32) + rows1[0] * 0.0
+    else:
+        dF = jnp.sum(rows1[occ_g.reshape(-1)].reshape(b, n_plus1, m, 16),
+                     axis=2)
 
     ov_g = jnp.where(plan.ov_slots == tk, dummy,
                      plan.ov_slots + boff[:, None])
@@ -545,6 +548,8 @@ def _scatter_with_plan(dFg, plan: ScatterPlan, b: int, n_plus1: int):
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(plan.n_ov.reshape(b), ov_ids, ov_rows)
+    if "noovf" in _ABLATE:   # perf bisection: overflow path cost
+        return dF
     return dF + ovpool
 
 
@@ -666,7 +671,7 @@ def _backward_tiled(F, lists, counts, rays_t, pix_t, tbound, outs, g_tiled,
     if "fakescatter" in _ABLATE:   # perf bisection: RMW scatter cost
         return jnp.zeros((b, n_plus1, 16), jnp.float32
                          ).at[:, 0].add(jnp.sum(dFg, axis=(0, 2))[None])
-    if plan is not None:
+    if plan is not None and "noplan" not in _ABLATE:
         return _scatter_with_plan(dFg, plan, b, n_plus1)
     if b * n_plus1 * 16 * 4 <= 80 * 2 ** 20:
         # in-kernel RMW scatter over a VMEM-resident [B*(N+1), 16] pool
@@ -1203,12 +1208,12 @@ def prepare_tiles(xyz, scaling, rotation, opacity, T_cw, K, params,
         lists, counts, _ = binning.build_tile_lists(
             packed, height, width, tile_h, tile_w,
             params.tile_list_capacity)
-    ov_cap = max(_OV_CHUNK,
-                 lists.size // 6 // _OV_CHUNK * _OV_CHUNK)
-    occ, ov_slots, ov_ids, n_ov = binning.build_scatter_plan(
-        lists, xyz.shape[0], m=4, ov_cap=ov_cap)
-    plan = ScatterPlan(occ=occ, ov_slots=ov_slots, ov_ids=ov_ids,
-                       n_ov=n_ov)
+    plan = None
+    if getattr(params, "scatter", "rmw") == "plan":
+        ov_cap = max(_OV_CHUNK,
+                     lists.size // 6 // _OV_CHUNK * _OV_CHUNK)
+        plan = ScatterPlan(*binning.build_scatter_plan(
+            lists, xyz.shape[0], m=4, ov_cap=ov_cap))
     return TileAssignment(lists=lists, counts=counts,
                           rays_t=rays_all, pix_t=pix_all, plan=plan)
 

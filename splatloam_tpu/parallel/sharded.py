@@ -198,6 +198,21 @@ def _slice_model(tree, n_model: int):
     return jax.tree_util.tree_map(sl, tree)
 
 
+def _maybe_plan(sub_lists, n_surfels: int, compute_cfg):
+    """Occurrence-table scatter plan for a per-device tile subset, iff
+    the compute config selects scatter="plan" (default "rmw": the plan's
+    rebin-time construction measured net-slower e2e — see
+    api.RenderParams.scatter / docs/PERF.md)."""
+    from ..ops.rasterizer import binning as BN
+    from ..ops.rasterizer import pallas_raster as PR
+    if getattr(compute_cfg, "scatter", "rmw") != "plan":
+        return None
+    return PR.ScatterPlan(*BN.build_scatter_plan(
+        sub_lists, n_surfels, m=4,
+        ov_cap=max(PR._OV_CHUNK,
+                   sub_lists.size // 6 // PR._OV_CHUNK * PR._OV_CHUNK)))
+
+
 def sharded_optimize(mesh: Mesh, params: RenderParams, hyper: S.AdamHyper,
                      mc, compute_cfg, depth_ratio: float = 0.0):
     """Full mapper optimize loop over the mesh (VERDICT r1 weak #3 fix).
@@ -360,11 +375,7 @@ def sharded_optimize_tiles(mesh: Mesh, params: RenderParams,
             idx = jax.lax.axis_index("data")
             mine = jnp.take(mat, idx, axis=1)                # [t_local]
             sub_lists = tiles.lists[mine]
-            from ..ops.rasterizer import binning as BN2
-            plan = PR.ScatterPlan(*BN2.build_scatter_plan(
-                sub_lists, full.xyz.shape[0], m=4,
-                ov_cap=max(PR._OV_CHUNK, sub_lists.size // 6
-                           // PR._OV_CHUNK * PR._OV_CHUNK)))
+            plan = _maybe_plan(sub_lists, full.xyz.shape[0], compute_cfg)
             sub = PR.TileAssignment(
                 lists=sub_lists, counts=tiles.counts[mine],
                 rays_t=tiles.rays_t[mine], pix_t=tiles.pix_t[mine],
@@ -548,10 +559,8 @@ def sharded_optimize_ring(mesh: Mesh, params: RenderParams,
             idx = jax.lax.axis_index("data")
             mine = jnp.take(mat, idx, axis=1)
             sub_lists = tiles.lists[mine]
-            plan = PR.ScatterPlan(*BN.build_scatter_plan(
-                sub_lists, surf.params.xyz.shape[0], m=4,
-                ov_cap=max(PR._OV_CHUNK, sub_lists.size // 6
-                           // PR._OV_CHUNK * PR._OV_CHUNK)))
+            plan = _maybe_plan(sub_lists, surf.params.xyz.shape[0],
+                               compute_cfg)
             sub = PR.TileAssignment(
                 lists=sub_lists, counts=tiles.counts[mine],
                 rays_t=tiles.rays_t[mine], pix_t=tiles.pix_t[mine],

@@ -233,7 +233,7 @@ class MapperPrograms:
         self.params = RenderParams(
             height=height, width=width, backend=cc.backend.value,
             chunk=cc.chunk, tile_h=cc.tile_h, tile_w=cc.tile_w,
-            tile_list_capacity=k_eff,
+            tile_list_capacity=k_eff, scatter=cc.scatter,
             # mapping losses use expected depth only (+ median iff
             # depth_ratio > 0); the distortion channel is never in the loss
             with_median=oc.depth_ratio > 0, with_dist=False)

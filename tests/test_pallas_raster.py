@@ -339,3 +339,30 @@ def test_flat_empty_scene(rng):
     assert np.isfinite(np.asarray(out["depth_sum"])).all()
     np.testing.assert_array_equal(np.asarray(out["alpha"]), 0.0)
     np.testing.assert_array_equal(np.asarray(out["final_T"]), 1.0)
+
+
+def test_plan_scatter_gradient_parity(rng):
+    """scatter="plan" (occurrence-table gather-sum gradient reduction)
+    must produce the same gradients as the default RMW pool.  Kept as an
+    option: measured net-slower end-to-end on v5e (the rebin-time plan
+    construction outweighs the RMW savings, docs/PERF.md) but exact and
+    useful in high-rebin regimes."""
+    args = _scene(rng, n=200)
+    p_rmw = PARAMS._replace(tile_w=32, with_median=False)
+    p_plan = p_rmw._replace(scatter="plan")
+
+    def loss(p):
+        def f(xyz, s, q, o):
+            c = rasterize_pallas(xyz, s, q, o, args[4], args[5], p)
+            return (jnp.sum(c["depth_sum"]) * 0.1 + jnp.sum(c["alpha"])
+                    + 0.5 * jnp.sum(c["normal_sum"]))
+        return f
+
+    g_rmw = jax.grad(loss(p_rmw), argnums=(0, 1, 2, 3))(*args[:4])
+    g_plan = jax.grad(loss(p_plan), argnums=(0, 1, 2, 3))(*args[:4])
+    for name, a, b in zip(("xyz", "scales", "quat", "opacity"),
+                          g_plan, g_rmw):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = float(np.abs(b).max()) + 1e-6
+        np.testing.assert_allclose(a, b, atol=1e-5 * max(scale, 1.0),
+                                   err_msg=name)
