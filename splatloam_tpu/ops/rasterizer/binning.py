@@ -334,6 +334,61 @@ def build_scatter_plan(lists: jax.Array, n_surfels: int, m: int = 4,
     return (occ.astype(jnp.int32), ov_slots, ov_ids, n_ov)
 
 
+@partial(jax.jit, static_argnames=("n_surfels", "group", "gps"))
+def build_ranksum_plan(lists: jax.Array, n_surfels: int,
+                       group: int = 1024, gps: int = 8):
+    """Rank-space sorted segment-sum plan for the gradient reduction.
+
+    One argsort of the flat tile lists by surfel id (amortized over the
+    rebin window); per iteration the reduction is then ONE fused
+    gather+transpose of the dFg rows into id-sorted order followed by a
+    Pallas kernel that one-hot-matmuls each ``group``-entry block into a
+    dense RANK-indexed accumulator (see pallas_raster._ranksum_kernel).
+    Ranks are dense over the DISTINCT ids that appear, so any block of
+    ``group`` sorted entries spans at most ``group`` consecutive rank
+    rows — the kernel's write window — regardless of how sparse the
+    binned id set is.  The serial read-modify-write of the RMW pool
+    becomes MXU matmuls + one windowed vector add per block.
+
+    Returns (t_idx [E] int32, k_idx [E] int32, ranks [E] int32 (pad -1),
+    w_first [E/group] int32, rank_of_id [N+1] int32) with
+    E = ceil(T*K / (gps*group)) * gps*group; absent ids map to the
+    never-written dummy rank row.
+    """
+    tk = lists.size
+    k_cap = lists.shape[-1]
+    n_plus1 = n_surfels + 1
+    ids = lists.reshape(-1)
+    order = jnp.argsort(ids)
+    ids_sorted = ids[order]
+    is_new = jnp.concatenate([jnp.ones((1,), bool),
+                              ids_sorted[1:] != ids_sorted[:-1]])
+    rank = (jnp.cumsum(is_new) - 1).astype(jnp.int32)       # [TK]
+
+    step = gps * group
+    e_pad = (tk + step - 1) // step * step
+    pad = e_pad - tk
+    # pad entries gather row (0, 0) but carry rank -1: their one-hot
+    # column is all-zero, so they contribute nothing
+    order_p = jnp.concatenate([order.astype(jnp.int32),
+                               jnp.zeros((pad,), jnp.int32)])
+    rank_p = jnp.concatenate([rank, jnp.full((pad,), -1, jnp.int32)])
+    t_idx = order_p // k_cap
+    k_idx = order_p % k_cap
+    w_first = jnp.maximum(rank_p[::group], 0)               # [E/group]
+    r_alloc = _ranksum_alloc(n_plus1, group)
+    rank_of_id = jnp.full((n_plus1,), r_alloc - 1,
+                          jnp.int32).at[ids_sorted].set(rank)
+    return t_idx, k_idx, rank_p, w_first, rank_of_id
+
+
+def _ranksum_alloc(n_plus1: int, group: int) -> int:
+    """Accumulator row count: every write window [w, w+group) with
+    w <= max rank <= n_plus1-1 fits, and the last row (the dummy rank
+    for absent ids) is never written."""
+    return (n_plus1 + group + 7) // 8 * 8
+
+
 @partial(jax.jit, static_argnames=("height", "width", "tile_h", "tile_w"))
 def tile_rays(K: jax.Array, height: int, width: int, tile_h: int,
               tile_w: int):

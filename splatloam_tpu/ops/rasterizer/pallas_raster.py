@@ -553,6 +553,105 @@ def _scatter_with_plan(dFg, plan: ScatterPlan, b: int, n_plus1: int):
     return dF + ovpool
 
 
+class RanksumPlan(typing.NamedTuple):
+    """Rebin-time id-sort for the rank-space segment-sum gradient
+    reduction (binning.build_ranksum_plan); leading [B] axis per view."""
+    t_idx: jax.Array       # [B, E] tile of the e-th id-sorted entry
+    k_idx: jax.Array       # [B, E] slot within the tile
+    ranks: jax.Array       # [B, E] dense rank of the entry's id (pad -1)
+    w_first: jax.Array     # [B, E/group] first rank of each group
+    rank_of_id: jax.Array  # [B, N+1] rank row per id (absent -> dummy)
+
+
+_RS_GROUP = 1024   # entries per one-hot matmul block (= write window)
+_RS_GPS = 8        # groups per grid step (amortizes per-step overhead)
+
+
+def _ranksum_kernel(w_ref, ranks_ref, rows_ref, dF_ref, *, group, gps):
+    """Rank-windowed one-hot segment sum.
+
+    Per group of ``group`` id-sorted entries: build the [group, group]
+    0/1 matrix OH[r, g] = (rank[g] - w == r), then
+    dF[w : w+group] += OH @ rows — the whole group reduces through the
+    MXU (exact: 0/1 lhs, fp32 accumulation) with ONE windowed
+    read-add-write of the accumulator, replacing ``group`` serial
+    dynamic-sublane RMWs.  Dense ranks guarantee the group's ids span
+    at most ``group`` consecutive rank rows (see build_ranksum_plan).
+    """
+    b = pl.program_id(0)
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _init():
+        dF_ref[...] = jnp.zeros_like(dF_ref)
+
+    nsub = group // 128
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (group, 1), 0)
+    for q in range(gps):
+        w = w_ref[b, s * gps + q]
+        pieces = []
+        for c in range(nsub):
+            rl = ranks_ref[0, 0, q * nsub + c, :]           # [128]
+            pieces.append(
+                (iota_w == (rl[None, :] - w)).astype(jnp.float32))
+        oh = jnp.concatenate(pieces, axis=1)                # [W, G]
+        rows_q = rows_ref[0, 0, pl.ds(q * group, group), :]  # [G, 16]
+        out = jax.lax.dot_general(
+            oh, rows_q, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)             # [W, 16]
+        acc = dF_ref[0, pl.ds(w, group), :]
+        dF_ref[0, pl.ds(w, group), :] = acc + out
+
+
+def _reduce_with_ranksum(dFg, plan: RanksumPlan, b: int, n_plus1: int):
+    """dFg [B*T, 16, K] -> dF [B, N+1, 16] via the id-sorted rank plan.
+
+    The gather below is the fused permute+transpose: advanced indexing
+    dFg[t, :, k] pulls each entry's 16 feature-gradient lanes into a
+    contiguous row in id-sorted order in ONE XLA gather (no [B*T*K, 16]
+    transpose materialization, which the RMW path pays implicitly).
+    """
+    group, gps = _RS_GROUP, _RS_GPS
+    bt, _, K = dFg.shape
+    n_tiles = bt // b
+    e_pad = plan.t_idx.shape[-1]
+    n_steps = e_pad // (gps * group)
+    boff = (jnp.arange(b, dtype=jnp.int32) * n_tiles)[:, None]
+    tt = (plan.t_idx + boff).reshape(-1)
+    kk = plan.k_idx.reshape(-1)
+    rows = dFg[tt, :, kk]                                   # [B*E, 16]
+    rows = rows.reshape(b, n_steps, gps * group, 16)
+    ranks = plan.ranks.reshape(b, n_steps, gps * (group // 128), 128)
+    w_first = plan.w_first.reshape(b, -1)
+    r_alloc = binning._ranksum_alloc(n_plus1, group)
+    kernel = functools.partial(_ranksum_kernel, group=group, gps=gps)
+    dFc = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, n_steps),
+            in_specs=[
+                pl.BlockSpec((1, 1, gps * (group // 128), 128),
+                             lambda bi, s, *_: (bi, s, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, gps * group, 16),
+                             lambda bi, s, *_: (bi, s, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, r_alloc, 16),
+                                   lambda bi, s, *_: (bi, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, r_alloc, 16), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(w_first, ranks, rows)
+    return jax.vmap(lambda d, r: d[r])(dFc, plan.rank_of_id)
+
+
 def _gather_features(F, lists):
     """F [B, N+1, 16], lists [B, T, K] -> Fg [B*T, 16, K] via ONE flat
     gather (vmapped gathers lower poorly on TPU)."""
@@ -672,6 +771,8 @@ def _backward_tiled(F, lists, counts, rays_t, pix_t, tbound, outs, g_tiled,
         return jnp.zeros((b, n_plus1, 16), jnp.float32
                          ).at[:, 0].add(jnp.sum(dFg, axis=(0, 2))[None])
     if plan is not None and "noplan" not in _ABLATE:
+        if isinstance(plan, RanksumPlan):
+            return _reduce_with_ranksum(dFg, plan, b, n_plus1)
         return _scatter_with_plan(dFg, plan, b, n_plus1)
     if b * n_plus1 * 16 * 4 <= 80 * 2 ** 20:
         # in-kernel RMW scatter over a VMEM-resident [B*(N+1), 16] pool
@@ -1209,11 +1310,15 @@ def prepare_tiles(xyz, scaling, rotation, opacity, T_cw, K, params,
             packed, height, width, tile_h, tile_w,
             params.tile_list_capacity)
     plan = None
-    if getattr(params, "scatter", "rmw") == "plan":
+    scatter = getattr(params, "scatter", "rmw")
+    if scatter == "plan":
         ov_cap = max(_OV_CHUNK,
                      lists.size // 6 // _OV_CHUNK * _OV_CHUNK)
         plan = ScatterPlan(*binning.build_scatter_plan(
             lists, xyz.shape[0], m=4, ov_cap=ov_cap))
+    elif scatter == "ranksum":
+        plan = RanksumPlan(*binning.build_ranksum_plan(
+            lists, xyz.shape[0], group=_RS_GROUP, gps=_RS_GPS))
     return TileAssignment(lists=lists, counts=counts,
                           rays_t=rays_all, pix_t=pix_all, plan=plan)
 

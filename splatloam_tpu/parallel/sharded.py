@@ -199,13 +199,18 @@ def _slice_model(tree, n_model: int):
 
 
 def _maybe_plan(sub_lists, n_surfels: int, compute_cfg):
-    """Occurrence-table scatter plan for a per-device tile subset, iff
-    the compute config selects scatter="plan" (default "rmw": the plan's
-    rebin-time construction measured net-slower e2e — see
-    api.RenderParams.scatter / docs/PERF.md)."""
+    """Gradient-reduction plan for a per-device tile subset, per the
+    compute config's ``scatter`` selection: "ranksum" (id-sort +
+    rank-windowed one-hot segment sum — the measured-fastest path),
+    "plan" (occurrence tables), or "rmw" (None: the in-kernel RMW
+    pool).  See api.RenderParams.scatter / docs/PERF.md."""
     from ..ops.rasterizer import binning as BN
     from ..ops.rasterizer import pallas_raster as PR
-    if getattr(compute_cfg, "scatter", "rmw") != "plan":
+    scatter = getattr(compute_cfg, "scatter", "rmw")
+    if scatter == "ranksum":
+        return PR.RanksumPlan(*BN.build_ranksum_plan(
+            sub_lists, n_surfels, group=PR._RS_GROUP, gps=PR._RS_GPS))
+    if scatter != "plan":
         return None
     return PR.ScatterPlan(*BN.build_scatter_plan(
         sub_lists, n_surfels, m=4,

@@ -341,6 +341,58 @@ def test_flat_empty_scene(rng):
     np.testing.assert_array_equal(np.asarray(out["final_T"]), 1.0)
 
 
+def test_ranksum_scatter_gradient_parity(rng):
+    """scatter="ranksum" (id-sort + rank-windowed one-hot segment sum)
+    must produce the same gradients as the default RMW pool."""
+    args = _scene(rng, n=200)
+    p_rmw = PARAMS._replace(tile_w=32, with_median=False)
+    p_rs = p_rmw._replace(scatter="ranksum")
+
+    def loss(p):
+        def f(xyz, s, q, o):
+            c = rasterize_pallas(xyz, s, q, o, args[4], args[5], p)
+            return (jnp.sum(c["depth_sum"]) * 0.1 + jnp.sum(c["alpha"])
+                    + 0.5 * jnp.sum(c["normal_sum"]))
+        return f
+
+    g_rmw = jax.grad(loss(p_rmw), argnums=(0, 1, 2, 3))(*args[:4])
+    g_rs = jax.grad(loss(p_rs), argnums=(0, 1, 2, 3))(*args[:4])
+    for name, a, b in zip(("xyz", "scales", "quat", "opacity"),
+                          g_rs, g_rmw):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = float(np.abs(b).max()) + 1e-6
+        np.testing.assert_allclose(a, b, atol=1e-5 * max(scale, 1.0),
+                                   err_msg=name)
+
+
+def test_ranksum_scatter_gradient_parity_batched(rng):
+    """The batched (B views) ranksum path: per-view rank plans built by
+    the vmapped prepare_tiles, gradients summed over views, vs RMW."""
+    from splatloam_tpu.ops.rasterizer.pallas_raster import \
+        rasterize_pallas_batched
+    args = _scene(rng, n=150)
+    T_b = jnp.stack([args[4],
+                     args[4].at[0, 3].add(0.35).at[2, 3].add(-0.2)])
+    K_b = jnp.stack([args[5], args[5]])
+    p_rmw = PARAMS._replace(tile_w=32, with_median=False)
+    p_rs = p_rmw._replace(scatter="ranksum")
+
+    def loss(p):
+        def f(xyz, s, q, o):
+            c = rasterize_pallas_batched(xyz, s, q, o, T_b, K_b, p)
+            return jnp.sum(c["depth_sum"]) * 0.1 + jnp.sum(c["alpha"])
+        return f
+
+    g_rmw = jax.grad(loss(p_rmw), argnums=(0, 1, 2, 3))(*args[:4])
+    g_rs = jax.grad(loss(p_rs), argnums=(0, 1, 2, 3))(*args[:4])
+    for name, a, b in zip(("xyz", "scales", "quat", "opacity"),
+                          g_rs, g_rmw):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = float(np.abs(b).max()) + 1e-6
+        np.testing.assert_allclose(a, b, atol=1e-5 * max(scale, 1.0),
+                                   err_msg=name)
+
+
 def test_plan_scatter_gradient_parity(rng):
     """scatter="plan" (occurrence-table gather-sum gradient reduction)
     must produce the same gradients as the default RMW pool.  Kept as an

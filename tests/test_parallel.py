@@ -169,10 +169,14 @@ def test_sharded_full_update_matches_single_device(rng, tmp_path):
 
 
 @pytest.mark.slow
-def test_balanced_tile_partition_matches_single_device(rng, tmp_path):
+@pytest.mark.parametrize("scatter", ["rmw", "ranksum"])
+def test_balanced_tile_partition_matches_single_device(rng, tmp_path,
+                                                       scatter):
     """sharded_optimize_tiles (count-balanced tile deal over "data") must
     match the single-device pallas optimize loop — the load-balance fix
-    named in docs/ARCHITECTURE.md's scaling model."""
+    named in docs/ARCHITECTURE.md's scaling model.  Parametrized over the
+    gradient-reduction path (the per-device tile-subset plans of
+    _maybe_plan follow cfg.compute.scatter)."""
     import synthetic
     from splatloam_tpu.parallel.sharded import sharded_optimize_tiles
     from splatloam_tpu.slam.mapper import (KeyframeBatch, MapperPrograms,
@@ -182,7 +186,7 @@ def test_balanced_tile_partition_matches_single_device(rng, tmp_path):
         tmp_path,
         mapping={"num_iterations": 7, "densify_percentage": 0.1},
         compute={"backend": "pallas", "rebin_every": 4,
-                 "tile_list_capacity": 512})
+                 "tile_list_capacity": 512, "scatter": scatter})
     h, w = 16, 256
     progs = MapperPrograms(cfg, h, w, CAP)
     mesh = make_mesh(data=4, model=2)

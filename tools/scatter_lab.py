@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""In-context scatter-path experiments on the bench block (TPU).
+
+Measures the production optimize block (bench._build_block: one rebin +
+16 fwd+bwd+SGD iterations) under different gradient-reduction variants,
+plus standalone probes for individual suspects (the dFg transpose, the
+permutation gather).  One mode per process (RASTER_ABLATE is read at
+trace time).
+
+Usage: python tools/scatter_lab.py --mode rmw|plan|fakescatter|nobwd
+       python tools/scatter_lab.py --mode transpose|permgather
+"""
+import argparse
+import json
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--mode", required=True)
+ap.add_argument("--rebin", type=int, default=16)
+ap.add_argument("--blocks", type=int, default=4)
+ap.add_argument("--n", type=int, default=100_000)
+opts = ap.parse_args()
+
+if opts.mode in ("fakescatter", "nobwd", "noplan"):
+    os.environ["RASTER_ABLATE"] = opts.mode
+
+from splatloam_tpu.cli import _enable_compilation_cache
+
+_enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import bench
+from splatloam_tpu.ops.rasterizer import RenderParams
+
+
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def sync():
+    # force a D2H so the relay switches to synchronous dispatch
+    jax.block_until_ready(jnp.zeros(()) + 1.0)
+    float(jnp.zeros(()))
+
+
+def timeit(name, fn, *a, iters=4):
+    out = fn(*a)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*a)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    emit(op=name, ms=round(dt * 1e3, 3))
+    return dt
+
+
+def main():
+    rng = np.random.default_rng(0)
+    sync()
+
+    if opts.mode == "probes":
+        bt, K = 1024, 768
+        x = jnp.asarray(rng.standard_normal((bt, 16, K)), jnp.float32)
+        f = jax.jit(lambda x: jnp.swapaxes(x, 1, 2)
+                    .reshape(bt * K, 16) + 0.0)
+        timeit("dFg transpose [1024,16,768]->[786k,16]", f, x, iters=20)
+        perm = jnp.asarray(rng.permutation(bt * K), jnp.int32)
+        rows = jnp.asarray(
+            rng.standard_normal((bt * K, 16)), jnp.float32)
+        g = jax.jit(lambda r, p: r[p] + 0.0)
+        timeit("perm gather 786k x 16f rows", g, rows, perm, iters=20)
+        return
+
+    scatter = opts.mode if opts.mode in ("plan", "ranksum") else "rmw"
+    params = RenderParams(height=bench.H, width=bench.W, backend="pallas",
+                          chunk=128, tile_h=4, tile_w=16,
+                          tile_list_capacity=768,
+                          with_median=False, with_dist=False,
+                          scatter=scatter)
+    args = bench.make_scene(rng, opts.n)
+    block = bench._build_block(args, params, opts.rebin)
+    g = block(*args[:4])
+    jax.block_until_ready(g)
+    t0 = time.perf_counter()
+    for _ in range(opts.blocks):
+        g = block(*args[:4])
+    jax.block_until_ready(g)
+    dt = (time.perf_counter() - t0) / (opts.blocks * opts.rebin)
+    emit(op=f"block[{opts.mode}] per-iter",
+         ms=round(dt * 1e3, 3),
+         mrays_per_s=round(bench.H * bench.W / dt / 1e6, 3))
+
+
+if __name__ == "__main__":
+    main()
