@@ -111,6 +111,9 @@ def cmd_slam(args, extra: list[str]) -> None:
         return run_supervised(args, extra)
     safe_state()
     set_log_level(args.verbose)
+    if getattr(args, "debug_checks", None):
+        from .debug import enable_checks
+        enable_checks(args.debug_checks)
     cfg = load_configuration(args.configuration, extra)
     logger.info(f"Running experiment with configuration: {cfg}")
 
@@ -350,6 +353,12 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--supervise", action="store_true",
                    help="elastic recovery: restart from the latest "
                         "checkpoint on crash/preemption")
+    s.add_argument("--debug-checks", choices=["nans", "infs", "all"],
+                   default=None,
+                   help="enable jax debug_nans/debug_infs tracing "
+                        "(slow; see splatloam_tpu.debug; combine with "
+                        "logging.debug_checks=true for per-keyframe "
+                        "state finiteness asserts)")
     s.add_argument("--max-restarts", type=int, default=5,
                    help="restarts without checkpoint progress before "
                         "giving up (budget refills on progress)")

@@ -183,6 +183,10 @@ class LoggingConfig:
     # reference does this unconditionally, ref slam/slam.py:72-92; it
     # costs one extra forward render per frame, so it is gated here)
     log_renders: Optional[bool] = True
+    # sanitizer: assert the active surfel/Adam state is finite after
+    # every keyframe map update (device-side reduction + one small D2H;
+    # catches a diverged map AT the offending keyframe) — see debug.py
+    debug_checks: Optional[bool] = False
 
 
 @dataclass

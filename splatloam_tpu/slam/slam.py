@@ -116,6 +116,7 @@ class SLAM:
         self.local_models[-1].insert_keyframe(frame)
         with self.profiler.phase("map_update"):
             self.mapper.update_model(frame)
+        self._debug_check_state()
         with self.profiler.phase("register_keyframe"):
             self.tracker.register_keyframe(frame)
         get_datalogger(self.cfg).log_model(
@@ -135,12 +136,25 @@ class SLAM:
         self.local_models.append(lmodel)
         self.mapper.register_model(lmodel)
         self.mapper.update_model(frame, initialize_model=True)
+        self._debug_check_state()
         self.tracker.register_model(lmodel)
         self.tracker.register_keyframe(frame)
         # NOTE: the caller appends the frame to self.frames — the reference
         # appends here AND in process() (ref slam/slam.py:61,125), double
         # counting rollover frames and misaligning saved timestamps.
         get_datalogger(self.cfg).log_model("world/model", lmodel.surfels)
+
+    def _debug_check_state(self) -> None:
+        """Sanitizer (logging.debug_checks): active surfel params + Adam
+        moments must be finite after every map update."""
+        if not self.cfg.logging.debug_checks:
+            return
+        from ..debug import assert_finite_state
+        lm = self.local_models[-1]
+        assert_finite_state(
+            {"params": lm.surfels.params, "adam": lm.adam},
+            active=lm.surfels.active,
+            what=f"map state after keyframe {len(lm.keyframes)}")
 
     def _maybe_checkpoint(self) -> None:
         every = self.cfg.output.checkpoint_every_keyframes
