@@ -275,7 +275,7 @@ def _bwd_kernel(counts_ref, fg_ref, rays_ref, pix_ref, tbound_ref,
     rays = rays_ref[0]                      # [P, 3]
     pix = pix_ref[0]                        # [P, 2]
     p_tile = rays.shape[0]
-    dF_ref[...] = jnp.zeros_like(dF_ref)
+    dF_ref[...] = jnp.zeros_like(dF_ref)    # [1, K, 16] entry-major
 
     gD = g_ref[0, :, 0:1]                   # [P, 1]
     gA = g_ref[0, :, 1:2]
@@ -376,8 +376,13 @@ def _bwd_kernel(counts_ref, fg_ref, rays_ref, pix_ref, tbound_ref,
             [d_p, d_gu, d_gv, d_n, sum_px(g_opa_px),
              sum_px(jnp.where(use2, gm, 0.0)),
              sum_px(-g_dx), sum_px(-g_dy)], axis=0)   # [16, C]
-        dF_ref[0, :, pl.ds(pl.multiple_of(i * chunk, chunk),
-                           chunk)] = dF
+        # emit entry-major [C, 16]: every downstream reduction (RMW
+        # scatter, plan gather, ranksum gather) consumes contiguous
+        # per-entry rows — transposing here (one [16, C] VMEM relayout
+        # per chunk) replaces the XLA-side [BT, 16, K] -> [BT, K, 16]
+        # transpose materialization of the whole gradient tensor
+        dF_ref[0, pl.ds(pl.multiple_of(i * chunk, chunk), chunk),
+               :] = jnp.swapaxes(dF, 0, 1)
 
         S_phi_carry = S_phi_carry + jnp.sum(w * phi, axis=1,
                                             keepdims=True)
@@ -428,9 +433,9 @@ def _scatter_rows_kernel(counts_ref, ids_ref, rows_ref, dF_ref):
 
 
 def _scatter_rows(dFg, flat_ids, counts, n_rows):
-    """dFg [BT, 16, K] per-tile-entry grads -> dF [n_rows, 16] by flat id."""
-    bt, _, K = dFg.shape
-    rows = jnp.swapaxes(dFg, 1, 2)              # [BT, K, 16]
+    """dFg [BT, K, 16] per-tile-entry grads -> dF [n_rows, 16] by flat id."""
+    bt, K, _ = dFg.shape
+    rows = dFg                                  # [BT, K, 16] entry-major
     return pl.pallas_call(
         _scatter_rows_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -501,16 +506,16 @@ _OV_CHUNK = 512
 
 
 def _scatter_with_plan(dFg, plan: ScatterPlan, b: int, n_plus1: int):
-    """dFg [B*T, 16, K] -> dF [B, N+1, 16] via the occurrence tables:
+    """dFg [B*T, K, 16] -> dF [B, N+1, 16] via the occurrence tables:
     one [B*(N+1)*M]-row gather + an exact per-surfel tree sum, plus the
     count-aware overflow RMW.  Replaces the whole-pool RMW kernel
     (measured 9 ms -> ~2.5 ms per iteration at 100k/64x1024, v5e): the
     issue-bound cost drops to (N+1)*M + overflow rows, and every
     per-surfel sum is an exact short tree reduction."""
-    bt, _, K = dFg.shape
+    bt, K, _ = dFg.shape
     tk = (bt // b) * K
     m = plan.occ.shape[-1]
-    rows = jnp.swapaxes(dFg, 1, 2).reshape(b * tk, 16)
+    rows = dFg.reshape(b * tk, 16)
     rows1 = jnp.concatenate([rows, jnp.zeros((1, 16), jnp.float32)])
     dummy = b * tk
     boff = jnp.arange(b, dtype=jnp.int32) * tk
@@ -613,18 +618,28 @@ def _reduce_with_ranksum(dFg, plan: RanksumPlan, b: int, n_plus1: int):
     transpose materialization, which the RMW path pays implicitly).
     """
     group, gps = _RS_GROUP, _RS_GPS
-    bt, _, K = dFg.shape
+    bt, K, _ = dFg.shape
     n_tiles = bt // b
     e_pad = plan.t_idx.shape[-1]
     n_steps = e_pad // (gps * group)
     boff = (jnp.arange(b, dtype=jnp.int32) * n_tiles)[:, None]
     tt = (plan.t_idx + boff).reshape(-1)
     kk = plan.k_idx.reshape(-1)
-    rows = dFg[tt, :, kk]                                   # [B*E, 16]
+    if "rsnogather" in _ABLATE:        # perf bisection: gather cost
+        rows = (jnp.zeros((b * e_pad, 16), jnp.float32)
+                + jnp.sum(dFg) * 0.0)
+    elif "rs2axis" in _ABLATE:         # alt lowering: 2-index gather
+        rows = dFg[tt, kk]                                  # [B*E, 16]
+    else:
+        rows = dFg.reshape(bt * K, 16)[tt * K + kk]         # [B*E, 16]
     rows = rows.reshape(b, n_steps, gps * group, 16)
     ranks = plan.ranks.reshape(b, n_steps, gps * (group // 128), 128)
     w_first = plan.w_first.reshape(b, -1)
     r_alloc = binning._ranksum_alloc(n_plus1, group)
+    if "rsnokernel" in _ABLATE:        # perf bisection: kernel cost
+        dFc = (jnp.zeros((b, r_alloc, 16), jnp.float32)
+               + jnp.sum(rows) * 0.0)
+        return jax.vmap(lambda d, r: d[r])(dFc, plan.rank_of_id)
     kernel = functools.partial(_ranksum_kernel, group=group, gps=gps)
     dFc = pl.pallas_call(
         kernel,
@@ -756,20 +771,21 @@ def _backward_tiled(F, lists, counts, rays_t, pix_t, tbound, outs, g_tiled,
                 pl.BlockSpec((1, p_tile, 8), lambda t, *_: (t, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, 16, K), lambda t, *_: (t, 0, 0),
+            out_specs=pl.BlockSpec((1, K, 16), lambda t, *_: (t, 0, 0),
                                    memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, 16, K), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, K, 16), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(counts, Fg, rays_t, pix_t, tbound, outs, g_tiled)
-    # scatter per-tile-entry grads back to surfels (atomics-free)
+    # scatter per-tile-entry grads back to surfels (atomics-free);
+    # dFg is [B*T, K, 16] entry-major straight out of the kernel
     n_plus1 = F.shape[1]
     if "fakescatter" in _ABLATE:   # perf bisection: RMW scatter cost
         return jnp.zeros((b, n_plus1, 16), jnp.float32
-                         ).at[:, 0].add(jnp.sum(dFg, axis=(0, 2))[None])
+                         ).at[:, 0].add(jnp.sum(dFg, axis=(0, 1))[None])
     if plan is not None and "noplan" not in _ABLATE:
         if isinstance(plan, RanksumPlan):
             return _reduce_with_ranksum(dFg, plan, b, n_plus1)
@@ -785,7 +801,7 @@ def _backward_tiled(F, lists, counts, rays_t, pix_t, tbound, outs, g_tiled,
     # per-view scatter (pathological batched-scatter lowering) or one
     # flat offset-indexed scatter over a [B*(N+1)] pool (measured 62 ms
     # vs 244 ms at B=4, T*K=786k rows, TPU v5e).
-    rows_v = jnp.swapaxes(dFg, 1, 2).reshape(b, n_tiles // b * K, 16)
+    rows_v = dFg.reshape(b, n_tiles // b * K, 16)
     return jnp.stack([
         jnp.zeros((n_plus1, 16), jnp.float32)
         .at[lists[i].reshape(-1)].add(rows_v[i])

@@ -1,0 +1,23 @@
+#!/bin/bash
+# Sequential scatter-lab runs with per-mode budgets that survive slow
+# tunnel compiles.  Usage: lab_runner.sh <out-file> <mode> [mode...]
+cd /root/repo
+out=$1; shift
+probe() {
+  timeout 90 python -c "import jax,sys;sys.stdout.write(jax.default_backend())" 2>/dev/null | grep -q tpu
+}
+for mode in "$@"; do
+  for attempt in 1 2 3; do
+    until probe; do
+      echo "probe down before $mode #$attempt $(date)" >> "$out"
+      sleep 45
+    done
+    echo "=== $mode attempt $attempt $(date) ===" >> "$out"
+    timeout 1500 python tools/scatter_lab.py --mode "$mode" 2>&1 \
+      | grep -v Platform >> "$out"
+    if grep -q "\"op\".*\[$mode\]\|$mode.*ms" "$out"; then break; fi
+    echo "$mode attempt $attempt no result $(date)" >> "$out"
+    sleep 20
+  done
+done
+echo "lab_runner done $(date)" >> "$out"

@@ -1,0 +1,32 @@
+#!/bin/bash
+# Persistently retry the scatter-lab measurements through relay flakes.
+# Each mode is retried (with a liveness probe between attempts) until a
+# result line lands.  Results accumulate in /tmp/scatter_lab_results.txt
+cd /root/repo
+out=/tmp/scatter_lab_results.txt
+echo "persistent watch started $(date)" >> "$out"
+
+probe() {
+  timeout 90 python -c "import jax,sys;sys.stdout.write(jax.default_backend())" 2>/dev/null | grep -q tpu
+}
+
+run_mode() {
+  local mode=$1
+  for attempt in 1 2 3 4 5 6 7 8; do
+    until probe; do
+      echo "probe down before $mode #$attempt $(date)" >> "$out"
+      sleep 45
+    done
+    echo "=== $mode attempt $attempt $(date) ===" >> "$out"
+    if timeout 580 python tools/scatter_lab.py --mode "$mode" 2>&1 \
+        | grep -v Platform >> "$out"; then
+      if grep -q "block\[$mode\]" "$out"; then return 0; fi
+    fi
+    echo "$mode attempt $attempt failed $(date)" >> "$out"
+    sleep 20
+  done
+}
+
+run_mode ranksum
+run_mode rmw
+echo "all done $(date)" >> "$out"

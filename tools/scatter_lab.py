@@ -28,6 +28,9 @@ opts = ap.parse_args()
 
 if opts.mode in ("fakescatter", "nobwd", "noplan"):
     os.environ["RASTER_ABLATE"] = opts.mode
+if opts.mode.startswith("ranksum+"):
+    os.environ["RASTER_ABLATE"] = opts.mode.split("+", 1)[1]
+    opts.mode = "ranksum"
 
 from splatloam_tpu.cli import _enable_compilation_cache
 
@@ -78,6 +81,20 @@ def main():
             rng.standard_normal((bt * K, 16)), jnp.float32)
         g = jax.jit(lambda r, p: r[p] + 0.0)
         timeit("perm gather 786k x 16f rows", g, rows, perm, iters=20)
+        return
+
+    if opts.mode == "rsplanbuild":
+        from splatloam_tpu.ops.rasterizer import binning as BN
+        from splatloam_tpu.ops.rasterizer.api import prepare_tiles
+        params = RenderParams(height=bench.H, width=bench.W,
+                              backend="pallas", chunk=128, tile_h=4,
+                              tile_w=16, tile_list_capacity=768,
+                              with_median=False, with_dist=False)
+        args = bench.make_scene(rng, opts.n)
+        tiles = prepare_tiles(*args, params, margin_px=1.5)
+        jax.block_until_ready(tiles.counts)
+        f = jax.jit(lambda l: BN.build_ranksum_plan(l, opts.n))
+        timeit("build_ranksum_plan(T*K)", f, tiles.lists, iters=10)
         return
 
     scatter = opts.mode if opts.mode in ("plan", "ranksum") else "rmw"
