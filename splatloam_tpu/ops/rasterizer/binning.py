@@ -350,13 +350,14 @@ def build_ranksum_plan(lists: jax.Array, n_surfels: int,
     binned id set is.  The serial read-modify-write of the RMW pool
     becomes MXU matmuls + one windowed vector add per block.
 
-    Returns (t_idx [E] int32, k_idx [E] int32, ranks [E] int32 (pad -1),
-    w_first [E/group] int32, rank_of_id [N+1] int32) with
-    E = ceil(T*K / (gps*group)) * gps*group; absent ids map to the
-    never-written dummy rank row.
+    Returns (pos [E] int32 flat entry positions in id-sorted order,
+    ranks [E] int32 (pad -1), w_first [E/group] int32,
+    rank_of_id [N+1] int32) with E = ceil(T*K / (gps*group)) *
+    gps*group; absent ids map to the never-written dummy rank row.
+    ``lists`` may be any flat slot layout — only its flat positions and
+    id values matter.
     """
     tk = lists.size
-    k_cap = lists.shape[-1]
     n_plus1 = n_surfels + 1
     ids = lists.reshape(-1)
     order = jnp.argsort(ids)
@@ -368,18 +369,16 @@ def build_ranksum_plan(lists: jax.Array, n_surfels: int,
     step = gps * group
     e_pad = (tk + step - 1) // step * step
     pad = e_pad - tk
-    # pad entries gather row (0, 0) but carry rank -1: their one-hot
-    # column is all-zero, so they contribute nothing
-    order_p = jnp.concatenate([order.astype(jnp.int32),
-                               jnp.zeros((pad,), jnp.int32)])
+    # pad entries gather row 0 but carry rank -1: their one-hot column
+    # is all-zero, so they contribute nothing
+    pos = jnp.concatenate([order.astype(jnp.int32),
+                           jnp.zeros((pad,), jnp.int32)])
     rank_p = jnp.concatenate([rank, jnp.full((pad,), -1, jnp.int32)])
-    t_idx = order_p // k_cap
-    k_idx = order_p % k_cap
     w_first = jnp.maximum(rank_p[::group], 0)               # [E/group]
     r_alloc = _ranksum_alloc(n_plus1, group)
     rank_of_id = jnp.full((n_plus1,), r_alloc - 1,
                           jnp.int32).at[ids_sorted].set(rank)
-    return t_idx, k_idx, rank_p, w_first, rank_of_id
+    return pos, rank_p, w_first, rank_of_id
 
 
 def _ranksum_alloc(n_plus1: int, group: int) -> int:

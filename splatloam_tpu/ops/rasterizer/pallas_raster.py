@@ -561,8 +561,7 @@ def _scatter_with_plan(dFg, plan: ScatterPlan, b: int, n_plus1: int):
 class RanksumPlan(typing.NamedTuple):
     """Rebin-time id-sort for the rank-space segment-sum gradient
     reduction (binning.build_ranksum_plan); leading [B] axis per view."""
-    t_idx: jax.Array       # [B, E] tile of the e-th id-sorted entry
-    k_idx: jax.Array       # [B, E] slot within the tile
+    pos: jax.Array         # [B, E] flat slot position, id-sorted order
     ranks: jax.Array       # [B, E] dense rank of the entry's id (pad -1)
     w_first: jax.Array     # [B, E/group] first rank of each group
     rank_of_id: jax.Array  # [B, N+1] rank row per id (absent -> dummy)
@@ -610,28 +609,28 @@ def _ranksum_kernel(w_ref, ranks_ref, rows_ref, dF_ref, *, group, gps):
 
 
 def _reduce_with_ranksum(dFg, plan: RanksumPlan, b: int, n_plus1: int):
-    """dFg [B*T, 16, K] -> dF [B, N+1, 16] via the id-sorted rank plan.
-
-    The gather below is the fused permute+transpose: advanced indexing
-    dFg[t, :, k] pulls each entry's 16 feature-gradient lanes into a
-    contiguous row in id-sorted order in ONE XLA gather (no [B*T*K, 16]
-    transpose materialization, which the RMW path pays implicitly).
-    """
-    group, gps = _RS_GROUP, _RS_GPS
+    """dFg [B*T, K, 16] -> dF [B, N+1, 16] via the id-sorted rank plan."""
     bt, K, _ = dFg.shape
-    n_tiles = bt // b
-    e_pad = plan.t_idx.shape[-1]
+    return _reduce_rows_with_ranksum(dFg.reshape(b, (bt // b) * K, 16),
+                                     plan, n_plus1)
+
+
+def _reduce_rows_with_ranksum(rows_all, plan: RanksumPlan, n_plus1: int):
+    """rows_all [B, TK, 16] per-slot entry-major gradients -> dF
+    [B, N+1, 16]: one contiguous row gather into id-sorted order + the
+    rank-windowed one-hot kernel (plan.pos indexes rows_all's flat slot
+    axis, whatever layout produced it — padded tiles or buckets)."""
+    group, gps = _RS_GROUP, _RS_GPS
+    b, tk, _ = rows_all.shape
+    e_pad = plan.pos.shape[-1]
     n_steps = e_pad // (gps * group)
-    boff = (jnp.arange(b, dtype=jnp.int32) * n_tiles)[:, None]
-    tt = (plan.t_idx + boff).reshape(-1)
-    kk = plan.k_idx.reshape(-1)
+    boff = (jnp.arange(b, dtype=jnp.int32) * tk)[:, None]
+    pos = (plan.pos + boff).reshape(-1)
     if "rsnogather" in _ABLATE:        # perf bisection: gather cost
         rows = (jnp.zeros((b * e_pad, 16), jnp.float32)
-                + jnp.sum(dFg) * 0.0)
-    elif "rs2axis" in _ABLATE:         # alt lowering: 2-index gather
-        rows = dFg[tt, kk]                                  # [B*E, 16]
+                + jnp.sum(rows_all) * 0.0)
     else:
-        rows = dFg.reshape(bt * K, 16)[tt * K + kk]         # [B*E, 16]
+        rows = rows_all.reshape(b * tk, 16)[pos]            # [B*E, 16]
     rows = rows.reshape(b, n_steps, gps * group, 16)
     ranks = plan.ranks.reshape(b, n_steps, gps * (group // 128), 128)
     w_first = plan.w_first.reshape(b, -1)
@@ -676,24 +675,18 @@ def _gather_features(F, lists):
     return jnp.swapaxes(flat.reshape(bt, lists.shape[2], 16), 1, 2)
 
 
-def _forward_tiled(F, lists, counts, rays_t, pix_t, *, tile_h, tile_w,
-                   chunk, width, with_median, with_dist):
-    """Batched over views: F [B, N+1, 16], lists [B, T, K], rays/pix
-    [B, T, P, .].  All views' tiles flatten into ONE [B*T] kernel grid —
-    the kernel is per-tile, so multi-view rendering amortizes launch and
-    pipeline overhead across views (PERF.md round-2 backlog)."""
-    b, n_tiles, K = lists.shape
-    p_tile = tile_h * tile_w
+def _fwd_call(Fg, counts, rays_t, pix_t, *, chunk, width, with_median,
+              with_dist):
+    """One forward kernel launch over flat [NT] tiles: Fg [NT, 16, K],
+    counts [NT], rays/pix [NT, P, .] -> (out [NT, P, 8],
+    tbound [NT, P, K/chunk])."""
+    n_tiles, _, K = Fg.shape
+    p_tile = rays_t.shape[1]
     n_chunks = K // chunk
-    Fg = _gather_features(F, lists)             # [B*T, 16, K]
-    counts = counts.reshape(b * n_tiles)
-    rays_t = rays_t.reshape(b * n_tiles, p_tile, 3)
-    pix_t = pix_t.reshape(b * n_tiles, p_tile, 2)
-    n_tiles = b * n_tiles
     kernel = functools.partial(_fwd_kernel, chunk=chunk, width=width,
                                n_chunks=n_chunks, with_median=with_median,
                                with_dist=with_dist)
-    out, tbound = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -723,36 +716,39 @@ def _forward_tiled(F, lists, counts, rays_t, pix_t, *, tile_h, tile_w,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(counts, Fg, rays_t, pix_t)
-    return (out.reshape(b, n_tiles // b, p_tile, 8),
-            tbound.reshape(b, n_tiles // b, p_tile, n_chunks), Fg)
 
 
-def _backward_tiled(F, lists, counts, rays_t, pix_t, tbound, outs, g_tiled,
-                    *, tile_h, tile_w, chunk, width, with_median,
-                    with_dist, Fg=None, plan=None):
-    """Batched like _forward_tiled; returns dF [B, N+1, 16].
-
-    ``Fg`` (the per-tile gathered features from the forward) is reused when
-    supplied: the random-access gather of T*K narrow rows costs ~27 ms at
-    B=4 on v5e — far more than the sequential HBM traffic of keeping the
-    already-materialized forward copy alive as a residual.
-    """
+def _forward_tiled(F, lists, counts, rays_t, pix_t, *, tile_h, tile_w,
+                   chunk, width, with_median, with_dist):
+    """Batched over views: F [B, N+1, 16], lists [B, T, K], rays/pix
+    [B, T, P, .].  All views' tiles flatten into ONE [B*T] kernel grid —
+    the kernel is per-tile, so multi-view rendering amortizes launch and
+    pipeline overhead across views (PERF.md round-2 backlog)."""
     b, n_tiles, K = lists.shape
     p_tile = tile_h * tile_w
     n_chunks = K // chunk
-    if Fg is None:
-        Fg = _gather_features(F, lists)         # [B*T, 16, K]
-    counts = counts.reshape(b * n_tiles)
-    rays_t = rays_t.reshape(b * n_tiles, p_tile, 3)
-    pix_t = pix_t.reshape(b * n_tiles, p_tile, 2)
-    tbound = tbound.reshape(b * n_tiles, p_tile, n_chunks)
-    outs = outs.reshape(b * n_tiles, p_tile, 8)
-    g_tiled = g_tiled.reshape(b * n_tiles, p_tile, 8)
-    n_tiles = b * n_tiles
+    Fg = _gather_features(F, lists)             # [B*T, 16, K]
+    out, tbound = _fwd_call(
+        Fg, counts.reshape(b * n_tiles),
+        rays_t.reshape(b * n_tiles, p_tile, 3),
+        pix_t.reshape(b * n_tiles, p_tile, 2),
+        chunk=chunk, width=width, with_median=with_median,
+        with_dist=with_dist)
+    return (out.reshape(b, n_tiles, p_tile, 8),
+            tbound.reshape(b, n_tiles, p_tile, n_chunks), Fg)
+
+
+def _bwd_call(Fg, counts, rays_t, pix_t, tbound, outs, g_tiled, *, chunk,
+              width, with_median, with_dist):
+    """One backward kernel launch over flat [NT] tiles ->
+    dFg [NT, K, 16] entry-major per-slot gradients."""
+    n_tiles, _, K = Fg.shape
+    p_tile = rays_t.shape[1]
+    n_chunks = K // chunk
     kernel = functools.partial(_bwd_kernel, chunk=chunk, width=width,
                                n_chunks=n_chunks, with_median=with_median,
                                with_dist=with_dist)
-    dFg = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -780,6 +776,34 @@ def _backward_tiled(F, lists, counts, rays_t, pix_t, tbound, outs, g_tiled,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(counts, Fg, rays_t, pix_t, tbound, outs, g_tiled)
+
+
+def _backward_tiled(F, lists, counts, rays_t, pix_t, tbound, outs, g_tiled,
+                    *, tile_h, tile_w, chunk, width, with_median,
+                    with_dist, Fg=None, plan=None):
+    """Batched like _forward_tiled; returns dF [B, N+1, 16].
+
+    ``Fg`` (the per-tile gathered features from the forward) is reused when
+    supplied: the random-access gather of T*K narrow rows costs ~27 ms at
+    B=4 on v5e — far more than the sequential HBM traffic of keeping the
+    already-materialized forward copy alive as a residual.
+    """
+    b, n_tiles, K = lists.shape
+    p_tile = tile_h * tile_w
+    n_chunks = K // chunk
+    if Fg is None:
+        Fg = _gather_features(F, lists)         # [B*T, 16, K]
+    counts = counts.reshape(b * n_tiles)
+    dFg = _bwd_call(
+        Fg, counts,
+        rays_t.reshape(b * n_tiles, p_tile, 3),
+        pix_t.reshape(b * n_tiles, p_tile, 2),
+        tbound.reshape(b * n_tiles, p_tile, n_chunks),
+        outs.reshape(b * n_tiles, p_tile, 8),
+        g_tiled.reshape(b * n_tiles, p_tile, 8),
+        chunk=chunk, width=width, with_median=with_median,
+        with_dist=with_dist)
+    n_tiles = b * n_tiles
     # scatter per-tile-entry grads back to surfels (atomics-free);
     # dFg is [B*T, K, 16] entry-major straight out of the kernel
     n_plus1 = F.shape[1]
