@@ -219,16 +219,17 @@ def run_throughput(budget_s):
     import jax
     from splatloam_tpu.ops.rasterizer import RenderParams
 
+    from splatloam_tpu.ops.rasterizer.api import adaptive_geometry
+
     on_tpu = _backend_up(budget_s) == "tpu"
     backend = "pallas" if on_tpu else "jnp"
     # the mapper's production configuration: median/dist channels off (not
-    # in the loss), tile lists rebuilt once per REBIN-iteration block
-    # production kernel configuration (= ComputeConfig defaults; the
-    # round-4 tile sweep moved 8x32/c256/3072 -> 4x16/c128/768)
+    # in the loss), tile lists rebuilt once per REBIN-iteration block,
+    # kernel geometry picked per pool size (api.adaptive_geometry — the
+    # 100k-tuned 4x16/c128 geometry costs +50% at 20k and vice versa)
     params = RenderParams(height=H, width=W, backend=backend,
-                          chunk=128, tile_h=4, tile_w=16,
-                          tile_list_capacity=768,
-                          with_median=False, with_dist=False)
+                          with_median=False, with_dist=False,
+                          **adaptive_geometry(N_SURFELS))
 
     if not on_tpu:
         # CPU fallback: the jnp golden renderer is O(N·pixels) — run a
@@ -241,8 +242,7 @@ def run_throughput(budget_s):
         return
 
     # Stage 1: small pool, rebin=1 — one small program, lands a number fast
-    small = params._replace(tile_list_capacity=min(
-        1024, params.tile_list_capacity))
+    small = params._replace(**adaptive_geometry(20_000))
     try:
         _run_stage("quick-20k", 20_000, 5, 1, small, final=False)
     except Exception as e:  # noqa: BLE001 — one retry for relay flakes
@@ -276,15 +276,17 @@ def run_throughput(budget_s):
         emit({"metric": "bench_note", "value": 0, "unit": "",
               "note": f"parity rider failed: {type(e).__name__}: {e}"})
 
-    # Stage 3: the headline 100k-surfel mapper block.  Skip only if the
-    # remaining budget can't absorb a cold remote compile (~240 s) plus
-    # the measurement itself.
+    # Stage 3: the headline 100k-surfel mapper block.  ALWAYS attempted:
+    # with the persistent compilation cache pre-warmed (deploy/prewarm
+    # runs this exact program at round end) the compile is seconds, and
+    # four rounds of budget-gating produced zero full-scale captures —
+    # an over-budget capture beats a missing one (the driver tolerates
+    # >20 min total, observed r3).  Only a dead relay skips it.
     remaining = budget_s - _elapsed()
-    if remaining < 60.0:
+    if remaining < 0:
         emit({"metric": "bench_note", "value": 0, "unit": "",
-              "note": f"budget exhausted ({remaining:.0f}s left); "
-                      "quick stage stands as headline"})
-        return
+              "note": f"over budget ({remaining:.0f}s) but attempting "
+                      "full-100k anyway (warm cache expected)"})
     try:
         _, line = _run_stage("full-100k", N_SURFELS, 15, 16, params,
                              final=True)

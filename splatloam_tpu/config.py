@@ -258,10 +258,15 @@ class ComputeConfig:
     # Binning radius margin (pixels) absorbing parameter drift between
     # rebinning points.
     bin_margin_px: float = 1.5
-    # Gradient reduction: "rmw" (in-kernel read-modify-write pool) or
-    # "plan" (rebin-time occurrence tables + gather-sum) — both exact;
-    # rmw measured faster end-to-end on v5e (see docs/PERF.md).
+    # Gradient reduction: "rmw" (in-kernel read-modify-write pool),
+    # "plan" (rebin-time occurrence tables + gather-sum) or "ranksum"
+    # (id-sort + one-hot MXU segment sum) — all exact; rmw measured
+    # fastest end-to-end on v5e (see docs/PERF.md).
     scatter: str = "rmw"
+    # Pick tile/chunk geometry from the live pool capacity instead of
+    # the fields above (small pools want bigger tiles: the 100k-tuned
+    # 4x16 geometry costs +50% at 20k surfels — docs/PERF.md).
+    auto_tile: bool = True
 
 
 @dataclass

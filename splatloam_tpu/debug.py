@@ -38,10 +38,12 @@ def enable_checks(mode: str = "nans") -> None:
     primitive — slow, so intended for debugging sessions (wired to the
     CLI's ``--debug-checks nans``), not production runs.
     """
+    if mode not in ("nans", "infs", "all", "off"):
+        # validate BEFORE touching jax.config: a bogus mode must not
+        # silently clear previously-enabled tracing
+        raise ValueError(f"unknown check mode {mode!r}")
     jax.config.update("jax_debug_nans", mode in ("nans", "all"))
     jax.config.update("jax_debug_infs", mode in ("infs", "all"))
-    if mode not in ("nans", "infs", "all", "off"):
-        raise ValueError(f"unknown check mode {mode!r}")
 
 
 def checked(fn: Callable) -> Callable:
@@ -66,14 +68,15 @@ def checked(fn: Callable) -> Callable:
 
 def finite_state_report(tree, active=None) -> dict:
     """One-scalar-per-leaf finiteness summary of a pytree (device-side
-    reductions; the only D2H is the final small dict).
+    reductions; the per-leaf counts are stacked into one vector so the
+    whole report costs a single D2H).
 
     ``active`` optionally masks rows (e.g. the surfel pool's live mask)
     so padding lanes — which are allowed to hold anything — don't trip
     the check.  Returns {leaf_path: n_nonfinite}.
     """
     flat, _ = jax.tree_util.tree_flatten_with_path(tree)
-    report = {}
+    keys, counts = [], []
     for path, leaf in flat:
         if not isinstance(leaf, jax.Array) or not jnp.issubdtype(
                 leaf.dtype, jnp.floating):
@@ -83,8 +86,12 @@ def finite_state_report(tree, active=None) -> dict:
                 leaf.shape[0] == active.shape[0]:
             mask = active.reshape((-1,) + (1,) * (leaf.ndim - 1))
             bad = bad & mask
-        report[jax.tree_util.keystr(path)] = int(jnp.sum(bad))
-    return report
+        keys.append(jax.tree_util.keystr(path))
+        counts.append(jnp.sum(bad, dtype=jnp.int32))
+    if not keys:
+        return {}
+    stacked = [int(v) for v in jax.device_get(jnp.stack(counts))]
+    return dict(zip(keys, stacked))
 
 
 def assert_finite_state(tree, active=None, what: str = "state") -> None:

@@ -46,12 +46,47 @@ class RenderParams(NamedTuple):
     # static flat-pool slot budget (chunk multiple); 0 = T*K/2
     flat_capacity: int = 0
     # gradient reduction: "rmw" = in-kernel read-modify-write pool,
-    # "plan" = rebin-time occurrence tables + gather-sum.  Both measured
-    # e2e on v5e at 100k/64x1024: rmw 17.6 ms/iter, plan 23.5 — the
-    # plan's rebin-time construction (argsort + compaction scatters over
-    # T*K slots) costs more than the RMW it replaces; kept as an option
-    # for high-rebin / low-duplication regimes (docs/PERF.md).
+    # "plan" = rebin-time occurrence tables + gather-sum, "ranksum" =
+    # rebin-time id-sort + rank-windowed one-hot MXU segment sum.
+    # Measured e2e on v5e at 100k/64x1024: rmw 17.6 ms/iter, plan 23.5
+    # — the plan's rebin-time construction (argsort + compaction
+    # scatters over T*K slots) costs more than the RMW it replaces;
+    # both alternatives stay selectable for high-rebin /
+    # low-duplication regimes (docs/PERF.md has the full table).
     scatter: str = "rmw"
+
+    SCATTER_MODES = ("rmw", "plan", "ranksum")
+
+
+def adaptive_geometry(n_surfels: int) -> dict:
+    """Measured-on-v5e kernel geometry by active pool size.
+
+    The round-4 sweep tuned 4x16/c128/768 at 100k surfels, but small
+    pools invert the tradeoff: quadrupling the tile count makes 20k-pool
+    iterations pay per-tile fixed costs on mostly-empty tiles (measured
+    20.5 ms/iter at 20k with the 100k geometry vs 13.7 ms with
+    8x32/c256 — docs/PERF.md round-5 table).  Callers that know the
+    active surfel count (the mapper re-specializes its programs per
+    pool capacity anyway) should merge this into RenderParams.
+    """
+    if n_surfels <= 48_000:
+        geo = dict(tile_h=8, tile_w=32, chunk=256,
+                   tile_list_capacity=1024)
+    else:
+        geo = dict(tile_h=4, tile_w=16, chunk=128,
+                   tile_list_capacity=768)
+    return geo
+
+
+def fit_geometry(geo: dict, height: int, width: int) -> dict:
+    """Shrink tile dims to divisors of the image (kernel precondition);
+    non-standard image sizes keep working at slightly different tiles."""
+    geo = dict(geo)
+    while height % geo["tile_h"]:
+        geo["tile_h"] //= 2
+    while width % geo["tile_w"]:
+        geo["tile_w"] //= 2
+    return geo
 
 
 def _resolve_backend(backend: str) -> str:

@@ -1351,6 +1351,8 @@ def prepare_tiles(xyz, scaling, rotation, opacity, T_cw, K, params,
             params.tile_list_capacity)
     plan = None
     scatter = getattr(params, "scatter", "rmw")
+    assert scatter in ("rmw", "plan", "ranksum"), \
+        f"unknown scatter mode {scatter!r}"
     if scatter == "plan":
         ov_cap = max(_OV_CHUNK,
                      lists.size // 6 // _OV_CHUNK * _OV_CHUNK)
@@ -1382,6 +1384,10 @@ def _check_params(params):
     assert params.chunk <= _LANE_BLK or params.chunk % _LANE_BLK == 0, \
         f"chunk > {_LANE_BLK} must be a {_LANE_BLK}-multiple (the " \
         "blocked triangular scan decomposes on lane-tile boundaries)"
+    scatter = getattr(params, "scatter", "rmw")
+    assert scatter in ("rmw", "plan", "ranksum"), \
+        f"unknown scatter mode {scatter!r} (a typo would otherwise " \
+        "silently fall back to the RMW path in prepare_tiles)"
 
 
 def rasterize_pallas_batched(xyz, scaling, rotation, opacity, T_cw, K,

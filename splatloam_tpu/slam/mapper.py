@@ -224,15 +224,25 @@ class MapperPrograms:
         oc = cfg.opt
         cc = cfg.compute
         self.height, self.width, self.capacity = height, width, capacity
-        # tile lists can't usefully exceed ~capacity/8 entries (scatter and
-        # DMA costs scale with T*K); shrink K for small pools — the pool
+        # pool-size-adaptive kernel geometry: small pools want bigger
+        # tiles (api.adaptive_geometry, measured docs/PERF.md); the pool
         # capacity doubling re-specializes these programs anyway
-        k_eff = min(int(cc.tile_list_capacity),
-                    max(int(cc.chunk),
-                        (capacity // 8 // cc.chunk) * cc.chunk))
+        if getattr(cc, "auto_tile", False):
+            from ..ops.rasterizer.api import adaptive_geometry, \
+                fit_geometry
+            geo = fit_geometry(adaptive_geometry(capacity), height, width)
+            tile_h, tile_w = geo["tile_h"], geo["tile_w"]
+            chunk, cap_k = geo["chunk"], geo["tile_list_capacity"]
+        else:
+            tile_h, tile_w = cc.tile_h, cc.tile_w
+            chunk, cap_k = cc.chunk, cc.tile_list_capacity
+        # tile lists can't usefully exceed ~capacity/8 entries (scatter and
+        # DMA costs scale with T*K); shrink K for small pools
+        k_eff = min(int(cap_k),
+                    max(int(chunk), (capacity // 8 // chunk) * chunk))
         self.params = RenderParams(
             height=height, width=width, backend=cc.backend.value,
-            chunk=cc.chunk, tile_h=cc.tile_h, tile_w=cc.tile_w,
+            chunk=chunk, tile_h=tile_h, tile_w=tile_w,
             tile_list_capacity=k_eff, scatter=cc.scatter,
             # mapping losses use expected depth only (+ median iff
             # depth_ratio > 0); the distortion channel is never in the loss

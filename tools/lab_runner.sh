@@ -13,9 +13,14 @@ for mode in "$@"; do
       sleep 45
     done
     echo "=== $mode attempt $attempt $(date) ===" >> "$out"
+    # capture THIS attempt's output separately: grepping the accumulated
+    # out-file matches stale results from earlier runs/prefix modes
+    tmp=$(mktemp)
     timeout 1500 python tools/scatter_lab.py --mode "$mode" 2>&1 \
-      | grep -v Platform >> "$out"
-    if grep -q "\"op\".*\[$mode\]\|$mode.*ms" "$out"; then break; fi
+      | grep -v Platform > "$tmp"
+    cat "$tmp" >> "$out"
+    if grep -q "\"op\": \"block\[$mode\]" "$tmp"; then rm -f "$tmp"; break; fi
+    rm -f "$tmp"
     echo "$mode attempt $attempt no result $(date)" >> "$out"
     sleep 20
   done

@@ -18,10 +18,15 @@ run_mode() {
       sleep 45
     done
     echo "=== $mode attempt $attempt $(date) ===" >> "$out"
-    if timeout 580 python tools/scatter_lab.py --mode "$mode" 2>&1 \
-        | grep -v Platform >> "$out"; then
-      if grep -q "block\[$mode\]" "$out"; then return 0; fi
-    fi
+    # per-attempt capture: the accumulated out-file holds stale results
+    # (and prefix modes like 'ranksum' match 'ranksum+rsnogather' lines)
+    local tmp
+    tmp=$(mktemp)
+    timeout 580 python tools/scatter_lab.py --mode "$mode" 2>&1 \
+      | grep -v Platform > "$tmp"
+    cat "$tmp" >> "$out"
+    if grep -q "\"op\": \"block\[$mode\]" "$tmp"; then rm -f "$tmp"; return 0; fi
+    rm -f "$tmp"
     echo "$mode attempt $attempt failed $(date)" >> "$out"
     sleep 20
   done
