@@ -54,6 +54,9 @@ class RenderParams(NamedTuple):
     # both alternatives stay selectable for high-rebin /
     # low-duplication regimes (docs/PERF.md has the full table).
     scatter: str = "rmw"
+    # RMW scatter: tiles folded into each grid step (amortizes per-step
+    # fixed costs; auto-reduced to a divisor of the tile count).
+    scatter_tps: int = 1
 
     SCATTER_MODES = ("rmw", "plan", "ranksum")
 

@@ -432,10 +432,62 @@ def _scatter_rows_kernel(counts_ref, ids_ref, rows_ref, dF_ref):
     jax.lax.fori_loop(0, (count + 3) // 4, body, 0)
 
 
-def _scatter_rows(dFg, flat_ids, counts, n_rows):
-    """dFg [BT, K, 16] per-tile-entry grads -> dF [n_rows, 16] by flat id."""
+def _scatter_rows_kernel_batched(counts_ref, ids_ref, rows_ref, dF_ref,
+                                 *, tps):
+    """Like _scatter_rows_kernel but ``tps`` tiles per grid step: the
+    serial RMW work per step grows tps-fold while per-step fixed costs
+    (block DMA issue, grid bookkeeping) are paid once — measured lever
+    for the latency-bound (not row-bound) in-context scatter cost."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _init():
+        dF_ref[...] = jnp.zeros_like(dF_ref)
+
+    for g in range(tps):
+        count = counts_ref[t * tps + g]
+
+        def body(q, _, g=g):
+            j = q * 4
+            for u in range(4):
+                sid = ids_ref[0, g, j + u]
+                dF_ref[pl.ds(sid, 1), :] = (
+                    dF_ref[pl.ds(sid, 1), :]
+                    + rows_ref[g, pl.ds(j + u, 1), :])
+            return 0
+
+        jax.lax.fori_loop(0, (count + 3) // 4, body, 0)
+
+
+def _scatter_rows(dFg, flat_ids, counts, n_rows, tps: int = 1):
+    """dFg [BT, K, 16] per-tile-entry grads -> dF [n_rows, 16] by flat id.
+
+    ``tps`` > 1 processes that many tiles per grid step (must divide BT)."""
     bt, K, _ = dFg.shape
     rows = dFg                                  # [BT, K, 16] entry-major
+    if tps > 1:
+        assert bt % tps == 0, (bt, tps)
+        kernel = functools.partial(_scatter_rows_kernel_batched, tps=tps)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(bt // tps,),
+                in_specs=[
+                    pl.BlockSpec((1, tps, K), lambda t, *_: (t, 0, 0),
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec((tps, K, 16), lambda t, *_: (t, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((n_rows, 16), lambda t, *_: (0, 0),
+                                       memory_space=pltpu.VMEM),
+            ),
+            out_shape=jax.ShapeDtypeStruct((n_rows, 16), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=_interpret(),
+        )(counts, flat_ids.reshape(bt // tps, tps, K), rows)
     return pl.pallas_call(
         _scatter_rows_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -719,7 +771,7 @@ def _fwd_call(Fg, counts, rays_t, pix_t, *, chunk, width, with_median,
 
 
 def _forward_tiled(F, lists, counts, rays_t, pix_t, *, tile_h, tile_w,
-                   chunk, width, with_median, with_dist):
+                   chunk, width, with_median, with_dist, scatter_tps=1):
     """Batched over views: F [B, N+1, 16], lists [B, T, K], rays/pix
     [B, T, P, .].  All views' tiles flatten into ONE [B*T] kernel grid —
     the kernel is per-tile, so multi-view rendering amortizes launch and
@@ -780,7 +832,7 @@ def _bwd_call(Fg, counts, rays_t, pix_t, tbound, outs, g_tiled, *, chunk,
 
 def _backward_tiled(F, lists, counts, rays_t, pix_t, tbound, outs, g_tiled,
                     *, tile_h, tile_w, chunk, width, with_median,
-                    with_dist, Fg=None, plan=None):
+                    with_dist, scatter_tps=1, Fg=None, plan=None):
     """Batched like _forward_tiled; returns dF [B, N+1, 16].
 
     ``Fg`` (the per-tile gathered features from the forward) is reused when
@@ -817,8 +869,11 @@ def _backward_tiled(F, lists, counts, rays_t, pix_t, tbound, outs, g_tiled,
     if b * n_plus1 * 16 * 4 <= 80 * 2 ** 20:
         # in-kernel RMW scatter over a VMEM-resident [B*(N+1), 16] pool
         # (see _scatter_rows_kernel); all views share one kernel grid
+        tps = max(1, scatter_tps)
+        while n_tiles % tps:
+            tps //= 2
         dF = _scatter_rows(dFg, _flat_view_ids(lists, n_plus1),
-                           counts, b * n_plus1)
+                           counts, b * n_plus1, tps=tps)
         return dF.reshape(b, n_plus1, 16)
     # fallback for pools too large for VMEM residency: an UNROLLED
     # per-view 1-D scatter-add is ~4x faster than either a vmapped
@@ -1205,6 +1260,7 @@ def _raster_core_flat(F, flat_ids, tile_of_chunk, rays_t, pix_t, static):
 
 def _flat_kw(static):
     d = static._asdict()
+    d.pop("scatter_tps", None)  # flat layout has its own scatter kernel
     return d
 
 
@@ -1276,6 +1332,7 @@ class _StaticArgs(typing.NamedTuple):
     width: int
     with_median: bool
     with_dist: bool
+    scatter_tps: int = 1
 
 
 class TileAssignment(typing.NamedTuple):
@@ -1410,7 +1467,8 @@ def rasterize_pallas_batched(xyz, scaling, rotation, opacity, T_cw, K,
     F = jax.vmap(binning.pack_features)(packed)     # [B, N+1, 16]
     static = _StaticArgs(tile_h=tile_h, tile_w=tile_w, chunk=params.chunk,
                          width=width, with_median=params.with_median,
-                         with_dist=params.with_dist)
+                         with_dist=params.with_dist,
+                         scatter_tps=getattr(params, "scatter_tps", 1))
     if isinstance(tiles, FlatTiles):
         out = _raster_core_flat(F, tiles.flat_ids, tiles.tile_of_chunk,
                                 tiles.rays_t, tiles.pix_t, static)
@@ -1447,7 +1505,8 @@ def rasterize_pallas(xyz, scaling, rotation, opacity, T_cw, K, params,
     F = binning.pack_features(packed)
     static = _StaticArgs(tile_h=tile_h, tile_w=tile_w, chunk=params.chunk,
                          width=width, with_median=params.with_median,
-                         with_dist=params.with_dist)
+                         with_dist=params.with_dist,
+                         scatter_tps=getattr(params, "scatter_tps", 1))
     if isinstance(tiles, FlatTiles):
         out = _raster_core_flat(F[None], tiles.flat_ids[None],
                                 tiles.tile_of_chunk[None],

@@ -19,7 +19,9 @@ for mode in "$@"; do
     timeout 1500 python tools/scatter_lab.py --mode "$mode" 2>&1 \
       | grep -v Platform > "$tmp"
     cat "$tmp" >> "$out"
-    if grep -q "\"op\": \"block\[$mode\]" "$tmp"; then rm -f "$tmp"; break; fi
+    # success = a timing line from THIS attempt (block modes emit one
+    # block[<mode>] line at the end; probe modes emit their own op lines)
+    if grep -q '"ms"' "$tmp"; then rm -f "$tmp"; break; fi
     rm -f "$tmp"
     echo "$mode attempt $attempt no result $(date)" >> "$out"
     sleep 20

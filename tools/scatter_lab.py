@@ -26,11 +26,13 @@ ap.add_argument("--blocks", type=int, default=4)
 ap.add_argument("--n", type=int, default=100_000)
 opts = ap.parse_args()
 
+LABEL = opts.mode  # full requested mode, kept for the result line
 if opts.mode in ("fakescatter", "nobwd", "noplan"):
     os.environ["RASTER_ABLATE"] = opts.mode
-if opts.mode.startswith("ranksum+"):
-    os.environ["RASTER_ABLATE"] = opts.mode.split("+", 1)[1]
-    opts.mode = "ranksum"
+if "+" in opts.mode:
+    base, ablate = opts.mode.split("+", 1)
+    os.environ["RASTER_ABLATE"] = ablate
+    opts.mode = base
 
 from splatloam_tpu.cli import _enable_compilation_cache
 
@@ -83,6 +85,32 @@ def main():
         timeit("perm gather 786k x 16f rows", g, rows, perm, iters=20)
         return
 
+    if opts.mode == "rmwprobe":
+        # standalone RMW scatter at the PRODUCTION in-context shapes
+        # (margin 1.5, 4x16/c128/768) across tiles-per-step variants:
+        # separates the kernel's own cost from block-coupling effects
+        import jax.numpy as jnp
+        from splatloam_tpu.ops.rasterizer.api import prepare_tiles
+        from splatloam_tpu.ops.rasterizer import pallas_raster as PR
+        params = RenderParams(height=bench.H, width=bench.W,
+                              backend="pallas", chunk=128, tile_h=4,
+                              tile_w=16, tile_list_capacity=768,
+                              with_median=False, with_dist=False)
+        args = bench.make_scene(rng, opts.n)
+        tiles = prepare_tiles(*args, params, margin_px=1.5)
+        jax.block_until_ready(tiles.counts)
+        bt, K = tiles.lists.shape
+        emit(op="rows", real=int(np.asarray(tiles.counts).sum()),
+             padded=bt * K)
+        dFg = jnp.asarray(rng.standard_normal((bt, K, 16)), jnp.float32)
+        ids = PR._flat_view_ids(tiles.lists[None], opts.n + 1)
+        for tps in (1, 4, 8, 16):
+            f = jax.jit(lambda d, i, c, tps=tps: PR._scatter_rows(
+                d, i, c, opts.n + 1, tps=tps))
+            timeit(f"rmw_scatter tps={tps}", f, dFg, ids, tiles.counts,
+                   iters=20)
+        return
+
     if opts.mode == "rsplanbuild":
         from splatloam_tpu.ops.rasterizer import binning as BN
         from splatloam_tpu.ops.rasterizer.api import prepare_tiles
@@ -98,11 +126,14 @@ def main():
         return
 
     scatter = opts.mode if opts.mode in ("plan", "ranksum") else "rmw"
+    tps = 1
+    if opts.mode.startswith("rmw") and opts.mode[3:].isdigit():
+        tps = int(opts.mode[3:])      # e.g. --mode rmw8
     params = RenderParams(height=bench.H, width=bench.W, backend="pallas",
                           chunk=128, tile_h=4, tile_w=16,
                           tile_list_capacity=768,
                           with_median=False, with_dist=False,
-                          scatter=scatter)
+                          scatter=scatter, scatter_tps=tps)
     args = bench.make_scene(rng, opts.n)
     block = bench._build_block(args, params, opts.rebin)
     g = block(*args[:4])
@@ -112,7 +143,7 @@ def main():
         g = block(*args[:4])
     jax.block_until_ready(g)
     dt = (time.perf_counter() - t0) / (opts.blocks * opts.rebin)
-    emit(op=f"block[{opts.mode}] per-iter",
+    emit(op=f"block[{LABEL}] per-iter",
          ms=round(dt * 1e3, 3),
          mrays_per_s=round(bench.H * bench.W / dt / 1e6, 3))
 
