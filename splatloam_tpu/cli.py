@@ -201,6 +201,7 @@ def cmd_mesh(args, extra) -> None:
             poisson_depth=args.poisson_depth,
             poisson_width=args.poisson_width,
             poisson_min_density=args.poisson_density_min,
+            screen_voxels=args.poisson_screen,
             max_depth_dist=args.max_depth_dist,
             use_median_depth=args.median_depth)
         save_mesh_ply(output, verts, faces)
@@ -373,6 +374,10 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--poisson-depth", "-d", type=int, default=10)
     m.add_argument("--poisson-width", "-w", type=float, default=None)
     m.add_argument("--poisson-density-min", "-m", type=float, default=0.01)
+    m.add_argument("--poisson-screen", type=float, default=0.0,
+                   help="screened-Poisson decay length in voxels for the "
+                        "grid solver (0 = unscreened); Open3D's octree "
+                        "solver screens natively")
     m.add_argument("--kf-interval", "-i", type=int, default=-1)
     m.add_argument("--kf-samples", "-n", type=int, default=5000)
     m.add_argument("--min-opacity", type=float, default=0.5)

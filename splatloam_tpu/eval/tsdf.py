@@ -190,7 +190,8 @@ def marching_cubes(tsdf: np.ndarray, origin: np.ndarray,
 def poisson_grid(points: np.ndarray, normals: np.ndarray,
                  voxel_size: float, pad_voxels: int = 8,
                  density_quantile: float = 0.01,
-                 smooth_voxels: float = 1.0):
+                 smooth_voxels: float = 1.0,
+                 screen_voxels: float = 0.0):
     """Self-contained Poisson surface reconstruction on a regular grid.
 
     Replaces Open3D's octree screened-Poisson (ref
@@ -203,6 +204,13 @@ def poisson_grid(points: np.ndarray, normals: np.ndarray,
     masked to NaN away from observed samples so the open-scan Poisson
     hallucinations never reach the triangulation (marching tetrahedra
     skip NaN cells).  Returns (vertices [V,3], triangles [T,3]).
+
+    ``screen_voxels`` > 0 solves the SCREENED Poisson equation
+    lap(chi) - alpha*chi = div V with alpha = 1/(screen_voxels*h)^2 —
+    the grid analog of Open3D/Kazhdan's screening term: chi decays to 0
+    within ~screen_voxels cells of the data, tightening the fit and
+    suppressing the unscreened solve's long-range bleed through thin
+    walls (measured 3-way mesher table: PARITY.md round 5).
     """
     points = np.asarray(points, np.float32)
     normals = np.asarray(normals, np.float32)
@@ -254,8 +262,15 @@ def poisson_grid(points: np.ndarray, normals: np.ndarray,
             [-1 if i == ax else 1 for i in range(3)]) ** 2
             for ax, f in enumerate(freqs))
         rhs_hat *= np.exp(-0.5 * smooth_voxels ** 2 * k2)
+    if screen_voxels and screen_voxels > 0:
+        # lam <= 0 everywhere, so (lam - alpha) is strictly negative:
+        # the screened system is nonsingular including the DC mode
+        alpha = 1.0 / (screen_voxels * h) ** 2
+        lam = lam.astype(np.float64) - alpha
+        lam[(0,) * 3] = -alpha
     chi_hat = rhs_hat / lam
-    chi_hat[(0,) * 3] = 0.0
+    if not (screen_voxels and screen_voxels > 0):
+        chi_hat[(0,) * 3] = 0.0
     chi = np.fft.irfftn(chi_hat, s=tuple(dims),
                         axes=(0, 1, 2)).astype(np.float32)
 

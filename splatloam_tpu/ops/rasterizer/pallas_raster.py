@@ -619,8 +619,13 @@ class RanksumPlan(typing.NamedTuple):
     rank_of_id: jax.Array  # [B, N+1] rank row per id (absent -> dummy)
 
 
-_RS_GROUP = 1024   # entries per one-hot matmul block (= write window)
-_RS_GPS = 8        # groups per grid step (amortizes per-step overhead)
+# entries per one-hot matmul block (= write window) and groups per grid
+# step.  Per-entry kernel cost is ~GROUP compares + GROUP x 16 MACs, so
+# SMALLER groups cut compute linearly (dense ranks keep any group's ids
+# within a GROUP-wide window regardless); 128 is the lane-tile floor.
+# Env-overridable at trace time for the perf lab (tools/scatter_lab.py).
+_RS_GROUP = int(_os.environ.get("RS_GROUP", "128"))
+_RS_GPS = int(_os.environ.get("RS_GPS", "64"))
 
 
 def _ranksum_kernel(w_ref, ranks_ref, rows_ref, dF_ref, *, group, gps):
@@ -866,6 +871,9 @@ def _backward_tiled(F, lists, counts, rays_t, pix_t, tbound, outs, g_tiled,
         if isinstance(plan, RanksumPlan):
             return _reduce_with_ranksum(dFg, plan, b, n_plus1)
         return _scatter_with_plan(dFg, plan, b, n_plus1)
+    if "constrows" in _ABLATE:  # perf bisection: scatter with rows that
+        # do not depend on the backward kernel (dFg still computed+read)
+        dFg = jnp.ones_like(dFg) + jnp.sum(dFg) * 1e-30
     if b * n_plus1 * 16 * 4 <= 80 * 2 ** 20:
         # in-kernel RMW scatter over a VMEM-resident [B*(N+1), 16] pool
         # (see _scatter_rows_kernel); all views share one kernel grid

@@ -208,7 +208,7 @@ def mesh_poisson(graph: ResultGraph, cfg: Configuration,
                  kf_samples: int | None, min_opacity: float,
                  poisson_depth: int | None, poisson_width: float | None,
                  poisson_min_density: float | None, max_depth_dist: float,
-                 use_median_depth: bool):
+                 use_median_depth: bool, screen_voxels: float = 0.0):
     """Reference-compatible Poisson meshing (ref
     scene/postprocessing.py:94-216).  Uses Open3D's octree
     screened-Poisson when installed; otherwise the self-contained
@@ -237,7 +237,8 @@ def mesh_poisson(graph: ResultGraph, cfg: Configuration,
             voxel = max(voxel, min_voxel)
         return poisson_grid(
             pts, nrm, voxel_size=voxel,
-            density_quantile=poisson_min_density or 0.0)
+            density_quantile=poisson_min_density or 0.0,
+            screen_voxels=screen_voxels)
     pcd = o3d.geometry.PointCloud()
     pcd.points = o3d.utility.Vector3dVector(pts)
     pcd.normals = o3d.utility.Vector3dVector(nrm)

@@ -101,7 +101,10 @@ def main():
                     "lmodel_threshold_nkeyframes": 30,
                     "lmodel_threshold_ngaussians": 400_000},
         "compute": {"backend": "pallas" if on_tpu else "jnp",
-                    "initial_capacity": 65536, "keyframe_capacity": 8},
+                    # the jnp golden renderer materializes O(N x pixels)
+                    # blocks: cap the pool on CPU smoke runs
+                    "initial_capacity": 65536 if on_tpu else 8192,
+                    "keyframe_capacity": 8},
         "logging": {"enable": False},
         "output": {"folder": str(out / "results"), "writer": "tum"},
     })
@@ -162,17 +165,23 @@ def main():
     verts, faces = mesh_tsdf(graph, cfg, res,
                              voxel_size=opts.voxel, trunc=3 * opts.voxel)
     meshes["tsdf"] = (verts, faces)
-    try:
-        vp, fp = mesh_poisson(graph, cfg, res, kf_interval=-1,
-                              kf_samples=None, min_opacity=0.5,
-                              poisson_depth=None,
-                              poisson_width=opts.voxel,
-                              poisson_min_density=0.01,
-                              max_depth_dist=0.1, use_median_depth=False)
-        meshes["poisson"] = (vp, fp)
-    except Exception as e:  # noqa: BLE001
-        print(json.dumps({"stage": "mesh_poisson",
-                          "error": str(e)[:200]}), flush=True)
+    # grid Poisson, unscreened + screened (the 3-way mesher comparison
+    # of VERDICT r3 ask #8 / r4 ask #5; Open3D's octree screened solver
+    # substitutes for "poisson_screened" automatically when installed)
+    for name, screen in (("poisson", 0.0), ("poisson_screened", 6.0)):
+        try:
+            vp, fp = mesh_poisson(graph, cfg, res, kf_interval=-1,
+                                  kf_samples=None, min_opacity=0.5,
+                                  poisson_depth=None,
+                                  poisson_width=opts.voxel,
+                                  poisson_min_density=0.01,
+                                  max_depth_dist=0.1,
+                                  use_median_depth=False,
+                                  screen_voxels=screen)
+            meshes[name] = (vp, fp)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"stage": f"mesh_{name}",
+                              "error": str(e)[:200]}), flush=True)
 
     for method, (verts, faces) in meshes.items():
         mesh_file = out / f"mesh_{method}.ply"
