@@ -47,7 +47,9 @@ class RenderParams(NamedTuple):
     flat_capacity: int = 0
     # gradient reduction: "rmw" = in-kernel read-modify-write pool,
     # "plan" = rebin-time occurrence tables + gather-sum, "ranksum" =
-    # rebin-time id-sort + rank-windowed one-hot MXU segment sum.
+    # rebin-time id-sort + rank-windowed one-hot MXU segment sum,
+    # "fused" = the RMW reduction folded into the backward kernel (no
+    # [NT,K,16] HBM round trip / second launch).
     # Measured e2e on v5e at 100k/64x1024: rmw 17.6 ms/iter, plan 23.5
     # — the plan's rebin-time construction (argsort + compaction
     # scatters over T*K slots) costs more than the RMW it replaces;
@@ -58,7 +60,7 @@ class RenderParams(NamedTuple):
     # fixed costs; auto-reduced to a divisor of the tile count).
     scatter_tps: int = 1
 
-    SCATTER_MODES = ("rmw", "plan", "ranksum")
+    SCATTER_MODES = ("rmw", "plan", "ranksum", "fused")
 
 
 def adaptive_geometry(n_surfels: int) -> dict:

@@ -265,11 +265,27 @@ def _fwd_kernel(counts_ref, fg_ref, rays_ref, pix_ref,
 
 
 def _bwd_kernel(counts_ref, fg_ref, rays_ref, pix_ref, tbound_ref,
-                outs_ref, g_ref, dF_ref,
-                *, chunk, width, n_chunks, with_median, with_dist):
+                outs_ref, g_ref, *rest,
+                chunk, width, n_chunks, with_median, with_dist,
+                fused=False):
     """Reverse dynamic chunk loop per tile with O(P) suffix carries.
-    Whole-tile [16, K] feature block auto-pipelined (see _fwd_kernel)."""
+    Whole-tile [16, K] feature block auto-pipelined (see _fwd_kernel).
+
+    ``fused``: the gradient reduction runs INSIDE this kernel — per-tile
+    entry rows land in a VMEM scratch and are RMW-accumulated into the
+    whole-pool output block (constant index map, VMEM-resident across
+    the grid) right after the chunk loop.  Kills the [NT, K, 16] HBM
+    round trip and the second kernel's launch/DMA pipeline that made the
+    standalone-3.6 ms scatter cost 8.9 ms in context (docs/PERF.md r5).
+    """
     t = pl.program_id(0)
+    if fused:
+        ids_ref, pool_ref, dF_ref = rest
+        @pl.when(t == 0)
+        def _init_pool():
+            pool_ref[...] = jnp.zeros_like(pool_ref)
+    else:
+        (dF_ref,) = rest
     count = counts_ref[t]
     n_act = pl.cdiv(count, chunk)
     rays = rays_ref[0]                      # [P, 3]
@@ -397,6 +413,66 @@ def _bwd_kernel(counts_ref, fg_ref, rays_ref, pix_ref, tbound_ref,
 
     zeros_p1 = jnp.zeros((p_tile, 1), jnp.float32)
     jax.lax.fori_loop(0, n_live, body, (zeros_p1, zeros_p1, zeros_p1))
+
+    if fused:
+        # in-kernel RMW reduction of this tile's entry rows (4-wide
+        # unroll, see _scatter_rows_kernel; the <=3 overshoot entries of
+        # the last quad are binning pads at the discarded dummy row)
+        def sbody(q, _):
+            j = q * 4
+            for u in range(4):
+                sid = ids_ref[0, 0, j + u]
+                pool_ref[pl.ds(sid, 1), :] = (
+                    pool_ref[pl.ds(sid, 1), :]
+                    + dF_ref[0, pl.ds(j + u, 1), :])
+            return 0
+
+        jax.lax.fori_loop(0, (count + 3) // 4, sbody, 0)
+
+
+def _bwd_call_fused(Fg, counts, rays_t, pix_t, tbound, outs, g_tiled,
+                    flat_ids, n_rows, *, chunk, width, with_median,
+                    with_dist):
+    """One fused backward+reduction launch over flat [NT] tiles ->
+    dF [n_rows, 16] accumulated by flat surfel id."""
+    n_tiles, _, K = Fg.shape
+    p_tile = rays_t.shape[1]
+    n_chunks = K // chunk
+    kernel = functools.partial(_bwd_kernel, chunk=chunk, width=width,
+                               n_chunks=n_chunks, with_median=with_median,
+                               with_dist=with_dist, fused=True)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((1, 16, K), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, p_tile, 3), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, p_tile, 2), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, p_tile, n_chunks), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, p_tile, 8), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, p_tile, 8), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, K), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((n_rows, 16), lambda t, *_: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((1, K, 16), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_rows, 16), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(counts, Fg, rays_t, pix_t, tbound, outs, g_tiled,
+      flat_ids.reshape(n_tiles, 1, K))
 
 
 def _scatter_rows_kernel(counts_ref, ids_ref, rows_ref, dF_ref):
@@ -776,7 +852,8 @@ def _fwd_call(Fg, counts, rays_t, pix_t, *, chunk, width, with_median,
 
 
 def _forward_tiled(F, lists, counts, rays_t, pix_t, *, tile_h, tile_w,
-                   chunk, width, with_median, with_dist, scatter_tps=1):
+                   chunk, width, with_median, with_dist, scatter_tps=1,
+                   fused_scatter=False):
     """Batched over views: F [B, N+1, 16], lists [B, T, K], rays/pix
     [B, T, P, .].  All views' tiles flatten into ONE [B*T] kernel grid —
     the kernel is per-tile, so multi-view rendering amortizes launch and
@@ -837,7 +914,8 @@ def _bwd_call(Fg, counts, rays_t, pix_t, tbound, outs, g_tiled, *, chunk,
 
 def _backward_tiled(F, lists, counts, rays_t, pix_t, tbound, outs, g_tiled,
                     *, tile_h, tile_w, chunk, width, with_median,
-                    with_dist, scatter_tps=1, Fg=None, plan=None):
+                    with_dist, scatter_tps=1, fused_scatter=False,
+                    Fg=None, plan=None):
     """Batched like _forward_tiled; returns dF [B, N+1, 16].
 
     ``Fg`` (the per-tile gathered features from the forward) is reused when
@@ -848,9 +926,23 @@ def _backward_tiled(F, lists, counts, rays_t, pix_t, tbound, outs, g_tiled,
     b, n_tiles, K = lists.shape
     p_tile = tile_h * tile_w
     n_chunks = K // chunk
+    n_plus1 = F.shape[1]
     if Fg is None:
         Fg = _gather_features(F, lists)         # [B*T, 16, K]
     counts = counts.reshape(b * n_tiles)
+    if (fused_scatter and "fakescatter" not in _ABLATE
+            and b * n_plus1 * 16 * 4 <= 80 * 2 ** 20):
+        dF = _bwd_call_fused(
+            Fg, counts,
+            rays_t.reshape(b * n_tiles, p_tile, 3),
+            pix_t.reshape(b * n_tiles, p_tile, 2),
+            tbound.reshape(b * n_tiles, p_tile, n_chunks),
+            outs.reshape(b * n_tiles, p_tile, 8),
+            g_tiled.reshape(b * n_tiles, p_tile, 8),
+            _flat_view_ids(lists, n_plus1), b * n_plus1,
+            chunk=chunk, width=width, with_median=with_median,
+            with_dist=with_dist)
+        return dF.reshape(b, n_plus1, 16)
     dFg = _bwd_call(
         Fg, counts,
         rays_t.reshape(b * n_tiles, p_tile, 3),
@@ -863,7 +955,6 @@ def _backward_tiled(F, lists, counts, rays_t, pix_t, tbound, outs, g_tiled,
     n_tiles = b * n_tiles
     # scatter per-tile-entry grads back to surfels (atomics-free);
     # dFg is [B*T, K, 16] entry-major straight out of the kernel
-    n_plus1 = F.shape[1]
     if "fakescatter" in _ABLATE:   # perf bisection: RMW scatter cost
         return jnp.zeros((b, n_plus1, 16), jnp.float32
                          ).at[:, 0].add(jnp.sum(dFg, axis=(0, 1))[None])
@@ -1269,6 +1360,7 @@ def _raster_core_flat(F, flat_ids, tile_of_chunk, rays_t, pix_t, static):
 def _flat_kw(static):
     d = static._asdict()
     d.pop("scatter_tps", None)  # flat layout has its own scatter kernel
+    d.pop("fused_scatter", None)
     return d
 
 
@@ -1341,6 +1433,7 @@ class _StaticArgs(typing.NamedTuple):
     with_median: bool
     with_dist: bool
     scatter_tps: int = 1
+    fused_scatter: bool = False
 
 
 class TileAssignment(typing.NamedTuple):
@@ -1416,7 +1509,7 @@ def prepare_tiles(xyz, scaling, rotation, opacity, T_cw, K, params,
             params.tile_list_capacity)
     plan = None
     scatter = getattr(params, "scatter", "rmw")
-    assert scatter in ("rmw", "plan", "ranksum"), \
+    assert scatter in ("rmw", "plan", "ranksum", "fused"), \
         f"unknown scatter mode {scatter!r}"
     if scatter == "plan":
         ov_cap = max(_OV_CHUNK,
@@ -1450,7 +1543,7 @@ def _check_params(params):
         f"chunk > {_LANE_BLK} must be a {_LANE_BLK}-multiple (the " \
         "blocked triangular scan decomposes on lane-tile boundaries)"
     scatter = getattr(params, "scatter", "rmw")
-    assert scatter in ("rmw", "plan", "ranksum"), \
+    assert scatter in ("rmw", "plan", "ranksum", "fused"), \
         f"unknown scatter mode {scatter!r} (a typo would otherwise " \
         "silently fall back to the RMW path in prepare_tiles)"
 
@@ -1476,7 +1569,9 @@ def rasterize_pallas_batched(xyz, scaling, rotation, opacity, T_cw, K,
     static = _StaticArgs(tile_h=tile_h, tile_w=tile_w, chunk=params.chunk,
                          width=width, with_median=params.with_median,
                          with_dist=params.with_dist,
-                         scatter_tps=getattr(params, "scatter_tps", 1))
+                         scatter_tps=getattr(params, "scatter_tps", 1),
+                         fused_scatter=getattr(params, "scatter",
+                                               "rmw") == "fused")
     if isinstance(tiles, FlatTiles):
         out = _raster_core_flat(F, tiles.flat_ids, tiles.tile_of_chunk,
                                 tiles.rays_t, tiles.pix_t, static)
@@ -1514,7 +1609,9 @@ def rasterize_pallas(xyz, scaling, rotation, opacity, T_cw, K, params,
     static = _StaticArgs(tile_h=tile_h, tile_w=tile_w, chunk=params.chunk,
                          width=width, with_median=params.with_median,
                          with_dist=params.with_dist,
-                         scatter_tps=getattr(params, "scatter_tps", 1))
+                         scatter_tps=getattr(params, "scatter_tps", 1),
+                         fused_scatter=getattr(params, "scatter",
+                                               "rmw") == "fused")
     if isinstance(tiles, FlatTiles):
         out = _raster_core_flat(F[None], tiles.flat_ids[None],
                                 tiles.tile_of_chunk[None],

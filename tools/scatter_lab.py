@@ -125,7 +125,8 @@ def main():
         timeit("build_ranksum_plan(T*K)", f, tiles.lists, iters=10)
         return
 
-    scatter = opts.mode if opts.mode in ("plan", "ranksum") else "rmw"
+    scatter = opts.mode if opts.mode in ("plan", "ranksum",
+                                         "fused") else "rmw"
     tps = 1
     if opts.mode.startswith("rmw") and opts.mode[3:].isdigit():
         tps = int(opts.mode[3:])      # e.g. --mode rmw8
