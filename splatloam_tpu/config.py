@@ -267,6 +267,10 @@ class ComputeConfig:
     # the fields above (small pools want bigger tiles: the 100k-tuned
     # 4x16 geometry costs +50% at 20k surfels — docs/PERF.md).
     auto_tile: bool = True
+    # FSDP params all-gather in float16 for non-position fields (xyz
+    # stays fp32; master shards/grads/compute stay fp32): per-row comm
+    # bytes 40 -> 26 on the "model" axis (parallel/sharded._gather_model).
+    compact_param_comms: bool = False
 
 
 @dataclass

@@ -181,10 +181,34 @@ def _surf_specs():
     return surf_spec, adam_spec
 
 
-def _gather_model(tree):
-    """all_gather every leaf along the "model" axis (FSDP materialize)."""
-    return jax.tree_util.tree_map(
-        lambda a: jax.lax.all_gather(a, "model", tiled=True), tree)
+def _gather_model(tree, compact: bool = False):
+    """all_gather every leaf along the "model" axis (FSDP materialize).
+
+    ``compact``: gather non-position float leaves in float16 (master
+    shards, gradients and all compute stay fp32) — the params gather is
+    the largest per-iteration collective (MULTICHIP stats), and
+    quat/log_scale/logit_opacity live in [-1, 1]-ish ranges where f16's
+    1e-3 absolute error is far below optimization noise.  xyz stays
+    fp32: at 50 m range a half-precision position quantum is ~2.4 cm —
+    the same order as the depth loss itself (docs/ARCHITECTURE.md
+    geometry-precision analysis).  Row bytes 40 -> 26 (-35%)."""
+    def ag(a):
+        return jax.lax.all_gather(a, "model", tiled=True)
+
+    if not compact:
+        return jax.tree_util.tree_map(ag, tree)
+
+    def ag16(a):
+        if not jnp.issubdtype(a.dtype, jnp.floating):
+            return ag(a)
+        return ag(a.astype(jnp.float16)).astype(a.dtype)
+
+    if isinstance(tree, S.SurfelParams):
+        return S.SurfelParams(xyz=ag(tree.xyz),
+                              log_scale=ag16(tree.log_scale),
+                              quat=ag16(tree.quat),
+                              logit_opacity=ag16(tree.logit_opacity))
+    return jax.tree_util.tree_map(ag16, tree)
 
 
 def _slice_model(tree, n_model: int):
@@ -239,6 +263,7 @@ def sharded_optimize(mesh: Mesh, params: RenderParams, hyper: S.AdamHyper,
     height, width = params.height, params.width
     assert height % n_data == 0, (height, n_data)
     local_params = params._replace(height=height // n_data)
+    compact = bool(getattr(compute_cfg, "compact_param_comms", False))
     rebin = max(1, int(compute_cfg.rebin_every))
     margin_px = float(compute_cfg.bin_margin_px)
 
@@ -246,7 +271,7 @@ def sharded_optimize(mesh: Mesh, params: RenderParams, hyper: S.AdamHyper,
         from ..ops.rasterizer.api import prepare_tiles
 
         def make_tiles(surf, kf_idx):
-            full = _gather_model(surf.params)
+            full = _gather_model(surf.params, compact)
             active = jax.lax.all_gather(surf.active, "model", tiled=True)
             scaling = jnp.exp(full.log_scale)
             opacity = jax.nn.sigmoid(full.logit_opacity) * active
@@ -256,7 +281,7 @@ def sharded_optimize(mesh: Mesh, params: RenderParams, hyper: S.AdamHyper,
                                  margin_px=margin_px)
 
         def one_iter(surf, st, kf_idx, tiles):
-            full = _gather_model(surf.params)
+            full = _gather_model(surf.params, compact)
             active = jax.lax.all_gather(surf.active, "model", tiled=True)
             T_cw = kf.T_cw[kf_idx]
             K_local, h_local = _row_shard_camera(kf.K[kf_idx], height,
@@ -352,6 +377,7 @@ def sharded_optimize_tiles(mesh: Mesh, params: RenderParams,
     n_tiles = (height // tile_h) * (width // tile_w)
     assert n_tiles % n_data == 0, (n_tiles, n_data)
     t_local = n_tiles // n_data
+    compact = bool(getattr(compute_cfg, "compact_param_comms", False))
     rebin = max(1, int(compute_cfg.rebin_every))
     margin_px = float(compute_cfg.bin_margin_px)
     static = PR._StaticArgs(tile_h=tile_h, tile_w=tile_w,
@@ -363,7 +389,7 @@ def sharded_optimize_tiles(mesh: Mesh, params: RenderParams,
         from ..ops.rasterizer.api import prepare_tiles
 
         def make_tiles(surf, kf_idx):
-            full = _gather_model(surf.params)
+            full = _gather_model(surf.params, compact)
             active = jax.lax.all_gather(surf.active, "model", tiled=True)
             scaling = jnp.exp(full.log_scale)
             opacity = jax.nn.sigmoid(full.logit_opacity) * active
@@ -391,7 +417,7 @@ def sharded_optimize_tiles(mesh: Mesh, params: RenderParams,
 
         def one_iter(surf, st, kf_idx, tiles3):
             sub, mine, scatter_perm = tiles3
-            full = _gather_model(surf.params)
+            full = _gather_model(surf.params, compact)
             active = jax.lax.all_gather(surf.active, "model", tiled=True)
             T_cw = kf.T_cw[kf_idx]
             K = kf.K[kf_idx]
@@ -525,6 +551,7 @@ def sharded_optimize_ring(mesh: Mesh, params: RenderParams,
     n_tiles = (height // tile_h) * (width // tile_w)
     assert n_tiles % n_data == 0, (n_tiles, n_data)
     t_local = n_tiles // n_data
+    compact = bool(getattr(compute_cfg, "compact_param_comms", False))
     rebin = max(1, int(compute_cfg.rebin_every))
     margin_px = float(compute_cfg.bin_margin_px)
     static = PR._StaticArgs(tile_h=tile_h, tile_w=tile_w,

@@ -496,3 +496,57 @@ def test_tile_deal_balances_load(rng):
     imb_deal = dealt.max() / max(dealt.mean(), 1.0)
     assert imb_deal < 1.05, (imb_deal, dealt)
     assert imb_deal <= imb_block + 1e-6, (imb_deal, imb_block)
+
+
+def test_compact_param_comms_tracks_fp32(rng, tmp_path):
+    """compact_param_comms (f16 all-gather for non-position params,
+    parallel/sharded._gather_model) must track the fp32-comms run: same
+    iteration count, EMA loss within a small relative band, positions
+    within the f16 quantum's effect on one optimize block.  xyz itself
+    still rides fp32, so position agreement stays tight."""
+    import synthetic
+    from splatloam_tpu.parallel.sharded import sharded_optimize_tiles
+    from splatloam_tpu.slam.mapper import (KeyframeBatch, MapperPrograms,
+                                           sample_geometric_probs)
+
+    h, w = 16, 256
+    results = {}
+    for compact in (False, True):
+        cfg = synthetic.make_config(
+            tmp_path,
+            mapping={"num_iterations": 7, "densify_percentage": 0.1},
+            compute={"backend": "pallas", "rebin_every": 4,
+                     "tile_list_capacity": 512,
+                     "compact_param_comms": compact})
+        progs = MapperPrograms(cfg, h, w, CAP)
+        mesh = make_mesh(data=4, model=2)
+        sh_opt = sharded_optimize_tiles(mesh, progs.params, progs.hyper,
+                                        cfg.mapping, cfg.compute,
+                                        cfg.opt.depth_ratio)
+        cam = _camera(rng, h, w)
+        key = jax.random.PRNGKey(7)
+        s_ref, a_ref, _, _ = progs._densify(
+            S.empty_surfels(CAP), S.empty_adam(CAP), cam, key,
+            initialize=True)
+        kf_cap = 8
+        log_probs = np.full((kf_cap,), -np.inf, np.float32)
+        log_probs[0] = 0.0
+
+        def pad(x1):
+            return jnp.concatenate(
+                [x1[None], jnp.zeros((kf_cap - 1,) + x1.shape, x1.dtype)])
+
+        kf = KeyframeBatch(K=pad(cam.K), T_cw=pad(cam.T_cw),
+                           depth=pad(cam.depth), valid=pad(cam.valid),
+                           log_probs=jnp.asarray(log_probs))
+        surf_sh, adam_sh = shard_model_state(mesh, s_ref, a_ref)
+        s2, _, ema, it = sh_opt(surf_sh, adam_sh, kf, jax.random.PRNGKey(3))
+        results[compact] = (np.asarray(s2.params.xyz), float(ema), int(it))
+
+    xyz32, ema32, it32 = results[False]
+    xyz16, ema16, it16 = results[True]
+    assert it16 == it32
+    assert ema16 == pytest.approx(ema32, rel=0.02)
+    # one block of f16-rounded quat/scale/opacity perturbs the gradient
+    # flow but must not move converged positions perceptibly
+    assert np.median(np.abs(xyz16 - xyz32)) < 5e-3
