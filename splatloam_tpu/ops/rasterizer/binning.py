@@ -334,9 +334,11 @@ def build_scatter_plan(lists: jax.Array, n_surfels: int, m: int = 4,
     return (occ.astype(jnp.int32), ov_slots, ov_ids, n_ov)
 
 
-@partial(jax.jit, static_argnames=("n_surfels", "group", "gps"))
+@partial(jax.jit, static_argnames=("n_surfels", "group", "gps",
+                                   "trunc_frac", "ov_cap"))
 def build_ranksum_plan(lists: jax.Array, n_surfels: int,
-                       group: int = 1024, gps: int = 8):
+                       group: int = 1024, gps: int = 8,
+                       trunc_frac: float = 0.0, ov_cap: int = 0):
     """Rank-space sorted segment-sum plan for the gradient reduction.
 
     One argsort of the flat tile lists by surfel id (amortized over the
@@ -367,6 +369,36 @@ def build_ranksum_plan(lists: jax.Array, n_surfels: int,
     rank = (jnp.cumsum(is_new) - 1).astype(jnp.int32)       # [TK]
 
     step = gps * group
+    r_alloc = _ranksum_alloc(n_plus1, group)
+    rank_of_id = jnp.full((n_plus1,), r_alloc - 1,
+                          jnp.int32).at[ids_sorted].set(rank)
+
+    if trunc_frac and 0.0 < trunc_frac < 1.0:
+        # SORTED TRUNCATION: binning pads carry id == n_surfels, the
+        # largest id, so they form a contiguous SUFFIX of the sorted
+        # order — the main path keeps only the first e_cap entries (the
+        # dominant per-iteration gather shrinks ~1/trunc_frac-fold) and
+        # any REAL entries spilled past e_cap (they'd be the largest-id
+        # reals, first within the suffix) ride a small count-aware RMW
+        # overflow list, exactly like build_scatter_plan's.  Entries
+        # beyond e_cap + ov_cap are dropped — same semantics as the
+        # tile-list capacity truncation that produced these slots.
+        e_cap = max(step, int(tk * trunc_frac) // step * step)
+        if e_cap >= tk:
+            trunc_frac = 0.0
+        else:
+            if ov_cap <= 0:
+                ov_cap = step
+            pos = order[:e_cap].astype(jnp.int32)
+            rank_p = rank[:e_cap]
+            w_first = jnp.maximum(rank_p[::group], 0)
+            n_real = jnp.sum(ids != n_surfels, dtype=jnp.int32)
+            ov_slots = order[e_cap:e_cap + ov_cap].astype(jnp.int32)
+            ov_ids = ids_sorted[e_cap:e_cap + ov_cap]
+            n_ov = jnp.clip(n_real - e_cap, 0, ov_cap).astype(jnp.int32)
+            return (pos, rank_p, w_first, rank_of_id, ov_slots, ov_ids,
+                    n_ov)
+
     e_pad = (tk + step - 1) // step * step
     pad = e_pad - tk
     # pad entries gather row 0 but carry rank -1: their one-hot column
@@ -375,9 +407,6 @@ def build_ranksum_plan(lists: jax.Array, n_surfels: int,
                            jnp.zeros((pad,), jnp.int32)])
     rank_p = jnp.concatenate([rank, jnp.full((pad,), -1, jnp.int32)])
     w_first = jnp.maximum(rank_p[::group], 0)               # [E/group]
-    r_alloc = _ranksum_alloc(n_plus1, group)
-    rank_of_id = jnp.full((n_plus1,), r_alloc - 1,
-                          jnp.int32).at[ids_sorted].set(rank)
     return pos, rank_p, w_first, rank_of_id
 
 

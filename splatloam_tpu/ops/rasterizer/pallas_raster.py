@@ -688,12 +688,24 @@ def _scatter_with_plan(dFg, plan: ScatterPlan, b: int, n_plus1: int):
 
 class RanksumPlan(typing.NamedTuple):
     """Rebin-time id-sort for the rank-space segment-sum gradient
-    reduction (binning.build_ranksum_plan); leading [B] axis per view."""
+    reduction (binning.build_ranksum_plan); leading [B] axis per view.
+    The ov_* fields exist only under sorted truncation (RS_TRUNC): the
+    main path covers the first E id-sorted entries, real entries spilled
+    past E ride the count-aware RMW overflow kernel."""
     pos: jax.Array         # [B, E] flat slot position, id-sorted order
     ranks: jax.Array       # [B, E] dense rank of the entry's id (pad -1)
     w_first: jax.Array     # [B, E/group] first rank of each group
     rank_of_id: jax.Array  # [B, N+1] rank row per id (absent -> dummy)
+    ov_slots: jax.Array | None = None   # [B, OvCap] flat slot positions
+    ov_ids: jax.Array | None = None     # [B, OvCap] surfel ids (pad N)
+    n_ov: jax.Array | None = None       # [B]
 
+
+# sorted-truncation fraction for the ranksum plan (0 = keep all T*K
+# slots; 0 < f < 1 = keep the first f*T*K id-sorted entries + an RMW
+# overflow list — binning pads sort last, so with typical ~35-45% real
+# fill the truncated gather loses nothing).  Env-tunable for the lab.
+_RS_TRUNC = float(_os.environ.get("RS_TRUNC", "0"))
 
 # entries per one-hot matmul block (= write window) and groups per grid
 # step.  Per-entry kernel cost is ~GROUP compares + GROUP x 16 MACs, so
@@ -796,7 +808,46 @@ def _reduce_rows_with_ranksum(rows_all, plan: RanksumPlan, n_plus1: int):
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(w_first, ranks, rows)
-    return jax.vmap(lambda d, r: d[r])(dFc, plan.rank_of_id)
+    dF = jax.vmap(lambda d, r: d[r])(dFc, plan.rank_of_id)
+    if plan.ov_slots is None:
+        return dF
+    # sorted-truncation overflow: gather the (few, usually zero) real
+    # entries spilled past the truncated main path and RMW them in
+    # (count-aware; same kernel as the occurrence plan's overflow)
+    n_plus1 = plan.rank_of_id.shape[-1]
+    ov_cap = plan.ov_slots.shape[-1]
+    ov_pad = (-ov_cap) % _OV_CHUNK
+    ov_slots = jnp.pad(plan.ov_slots, ((0, 0), (0, ov_pad)),
+                       constant_values=0)
+    ov_ids = jnp.pad(plan.ov_ids, ((0, 0), (0, ov_pad)),
+                     constant_values=n_plus1 - 1)
+    boffs = (jnp.arange(b, dtype=jnp.int32) * tk)[:, None]
+    ov_rows = rows_all.reshape(b * tk, 16)[
+        (ov_slots + boffs).reshape(-1)].reshape(
+            b, -1, _OV_CHUNK, 16)
+    ov_idsr = ov_ids.reshape(b, -1, 1, _OV_CHUNK)
+    n_chunks = ov_idsr.shape[1]
+    ovpool = pl.pallas_call(
+        _scatter_overflow_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, n_chunks),
+            in_specs=[
+                pl.BlockSpec((1, 1, 1, _OV_CHUNK), lambda bi, ci, *_:
+                             (bi, ci, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, _OV_CHUNK, 16), lambda bi, ci, *_:
+                             (bi, ci, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, n_plus1, 16), lambda bi, ci, *_:
+                                   (bi, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n_plus1, 16), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(plan.n_ov.reshape(b), ov_idsr, ov_rows)
+    return dF + ovpool
 
 
 def _gather_features(F, lists):
@@ -1518,7 +1569,8 @@ def prepare_tiles(xyz, scaling, rotation, opacity, T_cw, K, params,
             lists, xyz.shape[0], m=4, ov_cap=ov_cap))
     elif scatter == "ranksum":
         plan = RanksumPlan(*binning.build_ranksum_plan(
-            lists, xyz.shape[0], group=_RS_GROUP, gps=_RS_GPS))
+            lists, xyz.shape[0], group=_RS_GROUP, gps=_RS_GPS,
+            trunc_frac=_RS_TRUNC))
     return TileAssignment(lists=lists, counts=counts,
                           rays_t=rays_all, pix_t=pix_all, plan=plan)
 

@@ -233,7 +233,8 @@ def _maybe_plan(sub_lists, n_surfels: int, compute_cfg):
     scatter = getattr(compute_cfg, "scatter", "rmw")
     if scatter == "ranksum":
         return PR.RanksumPlan(*BN.build_ranksum_plan(
-            sub_lists, n_surfels, group=PR._RS_GROUP, gps=PR._RS_GPS))
+            sub_lists, n_surfels, group=PR._RS_GROUP, gps=PR._RS_GPS,
+            trunc_frac=PR._RS_TRUNC))
     if scatter != "plan":
         return None
     return PR.ScatterPlan(*BN.build_scatter_plan(
