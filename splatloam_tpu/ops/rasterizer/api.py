@@ -41,8 +41,14 @@ class RenderParams(NamedTuple):
     # slot layout consumed by the Pallas kernels: "tiled" = padded [T, K]
     # per-tile lists, "flat" = compacted chunk-aligned slot pool (the
     # per-iteration gather/scatter/DMA cost drops from T*K to ~sum(counts)
-    # rows; see pallas_raster.build_flat_lists)
+    # rows; see pallas_raster.build_flat_lists), "bucketed" = two-capacity
+    # tile buckets (top bucket_frac tiles by count keep the full capacity,
+    # the rest truncate to bucket_k_small; single-view)
     layout: str = "tiled"
+    # bucketed layout knobs (fraction of tiles in the big bucket; small-
+    # bucket slot capacity, 0 = one chunk)
+    bucket_frac: float = 0.5
+    bucket_k_small: int = 0
     # static flat-pool slot budget (chunk multiple); 0 = T*K/2
     flat_capacity: int = 0
     # gradient reduction: "rmw" = in-kernel read-modify-write pool,

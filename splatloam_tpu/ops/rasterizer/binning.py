@@ -481,3 +481,37 @@ def pack_features(packed: common.PackedSurfels) -> jax.Array:
         packed.center_xy], axis=1)
     return jnp.concatenate([F, jnp.zeros((1, 16), F.dtype)], axis=0)
 
+
+
+def build_bucketed_lists(packed: common.PackedSurfels, height: int,
+                         width: int, tile_h: int, tile_w: int,
+                         k_big: int, k_small: int, q_big: int,
+                         cap_ty: int = 9, cap_tx: int = 9):
+    """Two-capacity tile buckets (the "bucketed two-capacity launches"
+    candidate of docs/PERF.md, measured round 5).
+
+    Tile occupancy is extremely bimodal on LiDAR range images (bench
+    scene at 4x16/margin 1.5: p50 = 77 binned surfels, p90 = 768): one
+    padded [T, K] layout taxes every slot-level consumer — the
+    per-iteration feature gather, kernel block DMAs, and the gradient
+    reduction — with the worst-case capacity.  Here the ``q_big``
+    highest-count tiles keep ``k_big`` slots and the rest truncate to
+    ``k_small`` (depth-ordered lists drop the FARTHEST surfels — the
+    same semantics as the capacity cap itself), cutting padded slots to
+    ~55% of T*K at the measured distribution.
+
+    Returns (lists_b [q_big, k_big], counts_b, idx_b [q_big],
+             lists_s [T-q_big, k_small], counts_s, idx_s) with idx_*
+    sorted ascending (raster order within each bucket).
+    """
+    lists, counts, _ = build_tile_lists_sorted(
+        packed, height, width, tile_h, tile_w, k_big, cap_ty, cap_tx)
+    order = jnp.argsort(-counts)
+    idx_b = jnp.sort(order[:q_big])
+    idx_s = jnp.sort(order[q_big:])
+    lists_b = lists[idx_b]
+    counts_b = counts[idx_b]
+    lists_s = lists[idx_s][:, :k_small]
+    counts_s = jnp.minimum(counts[idx_s], k_small)
+    return (lists_b, counts_b, idx_b.astype(jnp.int32),
+            lists_s, counts_s, idx_s.astype(jnp.int32))

@@ -128,13 +128,20 @@ def main():
     scatter = opts.mode if opts.mode in ("plan", "ranksum",
                                          "fused") else "rmw"
     tps = 1
+    layout = "tiled"
     if opts.mode.startswith("rmw") and opts.mode[3:].isdigit():
         tps = int(opts.mode[3:])      # e.g. --mode rmw8
+    if opts.mode == "bucketed":       # two-capacity buckets + fused RMW
+        layout, scatter = "bucketed", "fused"
+    elif opts.mode == "bucketedrs":   # two-capacity buckets + ranksum
+        layout, scatter = "bucketed", "ranksum"
     params = RenderParams(height=bench.H, width=bench.W, backend="pallas",
                           chunk=128, tile_h=4, tile_w=16,
                           tile_list_capacity=768,
                           with_median=False, with_dist=False,
-                          scatter=scatter, scatter_tps=tps)
+                          scatter=scatter, scatter_tps=tps,
+                          layout=layout, bucket_k_small=128,
+                          bucket_frac=0.5)
     args = bench.make_scene(rng, opts.n)
     block = bench._build_block(args, params, opts.rebin)
     g = block(*args[:4])
