@@ -94,6 +94,9 @@ def main():
     ap.add_argument("--views", type=int, default=1,
                     help="batched multi-view rendering (B poses, "
                          "shared surfels, one kernel grid)")
+    ap.add_argument("--mv", action="store_true",
+                    help="use the multiview path even at --views 1 "
+                         "(comparable B-scaling table rows)")
     opts = ap.parse_args()
 
     from splatloam_tpu.cli import _enable_compilation_cache
@@ -113,7 +116,7 @@ def main():
     rng = np.random.default_rng(0)
     args = bench.make_scene(rng, opts.n, H, W)
 
-    if opts.views > 1:
+    if opts.views > 1 or opts.mv:
         return run_multiview(opts, params, args)
 
     tiles = prepare_tiles(*args, params, margin_px=4.0)
