@@ -68,6 +68,33 @@ OUT = Path(__file__).resolve().parents[1] / "tests" / "fixtures"
 # deterministic synthetic survey: a cylinder room, same for every format
 # ---------------------------------------------------------------------------
 
+def make_seq_cloud(seed: int, frame: int, n: int = 4000) -> np.ndarray:
+    """Frame ``frame`` of a structured canyon sweep in SENSOR frame:
+    two facade walls + ground + pillars, viewed from x = 0.35*frame —
+    the multi-frame full-CLI vendor fixture (deterministic)."""
+    rng = np.random.default_rng(seed * 1000 + frame)
+    k = n // 4
+    L, W2 = 30.0, 6.0
+    pts = [
+        np.stack([rng.uniform(-5, L, k), np.full(k, -W2),
+                  rng.uniform(-1.6, 3.0, k)], -1),
+        np.stack([rng.uniform(-5, L, k), np.full(k, W2),
+                  rng.uniform(-1.6, 3.0, k)], -1),
+        np.stack([rng.uniform(-5, L, k), rng.uniform(-W2, W2, k),
+                  np.full(k, -1.6)], -1),
+    ]
+    m = n - 3 * k
+    th = rng.uniform(-np.pi, np.pi, m)
+    cx = 4.0 + 6.0 * (np.arange(m) % 4)
+    cy = np.where(np.arange(m) % 2 == 0, -2.5, 2.5)
+    pts.append(np.stack([cx + 0.5 * np.cos(th), cy + 0.5 * np.sin(th),
+                         rng.uniform(-1.6, 1.0, m)], -1))
+    world = np.concatenate(pts).astype(np.float32)
+    world[:, 0] -= 0.35 * frame          # sensor moves +x through it
+    d = np.linalg.norm(world, axis=1)
+    return world[(d > 1.0) & (d < 40.0)]
+
+
 def make_cloud(seed: int, n: int = 256) -> np.ndarray:
     rng = np.random.default_rng(seed)
     theta = rng.uniform(-np.pi, np.pi, n)
@@ -451,6 +478,14 @@ def main():
     write_ros2_db3(OUT / "hesai.db3", clouds, stamps)
     write_mcap(OUT / "ouster.mcap", clouds, stamps)
     write_pcd_lzf(OUT / "ouster_lzf.pcd", clouds[0])
+
+    # multi-frame full-CLI sequence (VBR layout: /ouster/points, LZ4)
+    seq_stamps = [(1700000000 + i, 100000000 * i) for i in range(6)]
+    seq_clouds = [make_seq_cloud(7, i) for i in range(6)]
+    write_ros1_bag(OUT / "vbr_seq.bag", seq_clouds, seq_stamps,
+                   topic=b"/ouster/points", compression=b"lz4")
+    expected["seq_t"] = np.array([s + ns * 1e-9 for s, ns in seq_stamps])
+    expected["seq_n"] = np.array([len(c) for c in seq_clouds])
 
     np.savez(OUT / "expected.npz", **expected)
     print(f"fixtures written to {OUT}")
