@@ -146,15 +146,22 @@ _FORCE_CPU = False  # set by --force-cpu (the re-exec fallback below)
 
 
 def _probe_backend(timeout_s):
-    """Ask a SUBPROCESS which backend comes up.  The axon relay's failure
-    mode is a HANG inside PJRT client creation (observed 20+ min), not an
-    exception — an in-process call can never time out of that, so the
-    liveness check must be killable from outside."""
+    """Ask a SUBPROCESS which backend comes up — and prove it COMPUTES.
+
+    The axon relay has two failure modes, both hangs rather than
+    exceptions: (a) inside PJRT client creation (observed 20+ min), and
+    (b) a wedged state where ``jax.default_backend()`` still answers
+    'tpu' while any actual dispatch blocks forever (observed round 5).
+    So the probe must run a real jitted computation with a D2H and be
+    killable from outside."""
     import subprocess
     try:
         r = subprocess.run(
             [sys.executable, "-c",
-             "import jax, sys; sys.stdout.write(jax.default_backend())"],
+             "import jax, jax.numpy as jnp, sys;"
+             "x = jnp.ones((256, 256));"
+             "v = float((x @ x).sum());"
+             "sys.stdout.write(jax.default_backend())"],
             capture_output=True, text=True, timeout=timeout_s)
         out = (r.stdout or "").strip()
         return out if r.returncode == 0 and out else None

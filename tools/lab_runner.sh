@@ -4,7 +4,9 @@
 cd /root/repo
 out=$1; shift
 probe() {
-  timeout 90 python -c "import jax,sys;sys.stdout.write(jax.default_backend())" 2>/dev/null | grep -q tpu
+  # must prove the relay COMPUTES: a wedged relay still answers
+  # default_backend() while every dispatch hangs
+  timeout 90 python -c "import jax,jax.numpy as jnp,sys;x=jnp.ones((256,256));float((x@x).sum());sys.stdout.write(jax.default_backend())" 2>/dev/null | grep -q tpu
 }
 for mode in "$@"; do
   for attempt in 1 2 3; do

@@ -7,7 +7,9 @@ out=/tmp/scatter_lab_results.txt
 echo "persistent watch started $(date)" >> "$out"
 
 probe() {
-  timeout 90 python -c "import jax,sys;sys.stdout.write(jax.default_backend())" 2>/dev/null | grep -q tpu
+  # must prove the relay COMPUTES: a wedged relay still answers
+  # default_backend() while every dispatch hangs
+  timeout 90 python -c "import jax,jax.numpy as jnp,sys;x=jnp.ones((256,256));float((x@x).sum());sys.stdout.write(jax.default_backend())" 2>/dev/null | grep -q tpu
 }
 
 run_mode() {
