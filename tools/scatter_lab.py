@@ -24,6 +24,10 @@ ap.add_argument("--mode", required=True)
 ap.add_argument("--rebin", type=int, default=16)
 ap.add_argument("--blocks", type=int, default=4)
 ap.add_argument("--n", type=int, default=100_000)
+ap.add_argument("--tile-h", type=int, default=4)
+ap.add_argument("--tile-w", type=int, default=16)
+ap.add_argument("--chunk", type=int, default=128)
+ap.add_argument("--cap", type=int, default=768)
 opts = ap.parse_args()
 
 LABEL = opts.mode  # full requested mode, kept for the result line
@@ -136,11 +140,12 @@ def main():
     elif opts.mode == "bucketedrs":   # two-capacity buckets + ranksum
         layout, scatter = "bucketed", "ranksum"
     params = RenderParams(height=bench.H, width=bench.W, backend="pallas",
-                          chunk=128, tile_h=4, tile_w=16,
-                          tile_list_capacity=768,
+                          chunk=opts.chunk, tile_h=opts.tile_h,
+                          tile_w=opts.tile_w,
+                          tile_list_capacity=opts.cap,
                           with_median=False, with_dist=False,
                           scatter=scatter, scatter_tps=tps,
-                          layout=layout, bucket_k_small=128,
+                          layout=layout, bucket_k_small=opts.chunk,
                           bucket_frac=0.5)
     args = bench.make_scene(rng, opts.n)
     block = bench._build_block(args, params, opts.rebin)
@@ -151,7 +156,8 @@ def main():
         g = block(*args[:4])
     jax.block_until_ready(g)
     dt = (time.perf_counter() - t0) / (opts.blocks * opts.rebin)
-    emit(op=f"block[{LABEL}] per-iter",
+    emit(op=f"block[{LABEL}] per-iter", n=opts.n,
+         geo=f"{opts.tile_h}x{opts.tile_w}/c{opts.chunk}/k{opts.cap}",
          ms=round(dt * 1e3, 3),
          mrays_per_s=round(bench.H * bench.W / dt / 1e6, 3))
 
