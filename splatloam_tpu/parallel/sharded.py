@@ -225,9 +225,10 @@ def _slice_model(tree, n_model: int):
 def _maybe_plan(sub_lists, n_surfels: int, compute_cfg):
     """Gradient-reduction plan for a per-device tile subset, per the
     compute config's ``scatter`` selection: "ranksum" (id-sort +
-    rank-windowed one-hot segment sum — the measured-fastest path),
-    "plan" (occurrence tables), or "rmw" (None: the in-kernel RMW
-    pool).  See api.RenderParams.scatter / docs/PERF.md."""
+    rank-windowed one-hot segment sum — measured fastest end-to-end at
+    group=128, docs/PERF.md round-5 table), "plan" (occurrence tables),
+    or "rmw"/"fused" (None: the in-kernel RMW pool).  See
+    api.RenderParams.scatter / docs/PERF.md."""
     from ..ops.rasterizer import binning as BN
     from ..ops.rasterizer import pallas_raster as PR
     scatter = getattr(compute_cfg, "scatter", "rmw")
