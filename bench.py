@@ -234,8 +234,11 @@ def run_throughput(budget_s):
     # in the loss), tile lists rebuilt once per REBIN-iteration block,
     # kernel geometry picked per pool size (api.adaptive_geometry — the
     # 100k-tuned 4x16/c128 geometry costs +50% at 20k and vice versa)
+    # full stage: ranksum reduction (rebin-16 amortizes its plan build;
+    # measured 15.38 vs rmw 17.72 ms/iter — docs/PERF.md round-5 table)
     params = RenderParams(height=H, width=W, backend=backend,
                           with_median=False, with_dist=False,
+                          scatter="ranksum",
                           **adaptive_geometry(N_SURFELS))
 
     if not on_tpu:
@@ -248,8 +251,10 @@ def run_throughput(budget_s):
         _run_stage("cpu-fallback-2k", 2_000, 2, 1, micro, final=True)
         return
 
-    # Stage 1: small pool, rebin=1 — one small program, lands a number fast
-    small = params._replace(**adaptive_geometry(20_000))
+    # Stage 1: small pool, rebin=1 — one small program, lands a number
+    # fast.  rmw reduction: at rebin 1 the ranksum plan's argsort runs
+    # every iteration and cannot amortize.
+    small = params._replace(scatter="rmw", **adaptive_geometry(20_000))
     try:
         _run_stage("quick-20k", 20_000, 5, 1, small, final=False)
     except Exception as e:  # noqa: BLE001 — one retry for relay flakes

@@ -258,11 +258,15 @@ class ComputeConfig:
     # Binning radius margin (pixels) absorbing parameter drift between
     # rebinning points.
     bin_margin_px: float = 1.5
-    # Gradient reduction: "rmw" (in-kernel read-modify-write pool),
-    # "plan" (rebin-time occurrence tables + gather-sum) or "ranksum"
-    # (id-sort + one-hot MXU segment sum) — all exact; rmw measured
-    # fastest end-to-end on v5e (see docs/PERF.md).
-    scatter: str = "rmw"
+    # Gradient reduction: "ranksum" (rebin-time id-sort + rank-windowed
+    # one-hot MXU segment sum), "rmw" (in-kernel read-modify-write
+    # pool), "fused" (RMW folded into the backward kernel) or "plan"
+    # (occurrence tables) — all exact.  ranksum at group 128 measured
+    # fastest end-to-end on v5e at the production rebin (15.38 vs rmw
+    # 17.72 ms/iter, 100k surfels; docs/PERF.md round-5 table).  The
+    # plan build costs one argsort per rebin point, so rebin_every=1
+    # callers (e.g. the tracker-style single-shot paths) prefer "rmw".
+    scatter: str = "ranksum"
     # Pick tile/chunk geometry from the live pool capacity instead of
     # the fields above (small pools want bigger tiles: the 100k-tuned
     # 4x16 geometry costs +50% at 20k surfels — docs/PERF.md).
