@@ -981,8 +981,13 @@ def _backward_tiled(F, lists, counts, rays_t, pix_t, tbound, outs, g_tiled,
     if Fg is None:
         Fg = _gather_features(F, lists)         # [B*T, 16, K]
     counts = counts.reshape(b * n_tiles)
+    # VMEM residency guard for the whole-pool RMW outputs: the [R, 16]
+    # f32 window is laid out at the native (8, 128) tile, so its true
+    # VMEM cost is R x 128 lanes x 4 B — 8x the logical bytes (a
+    # [400004, 16] pool compiles to a 204 MB window; measured r5 OOM).
+    pool_vmem = b * n_plus1 * 128 * 4
     if (fused_scatter and "fakescatter" not in _ABLATE
-            and b * n_plus1 * 16 * 4 <= 80 * 2 ** 20):
+            and pool_vmem <= 80 * 2 ** 20):
         dF = _bwd_call_fused(
             Fg, counts,
             rays_t.reshape(b * n_tiles, p_tile, 3),
@@ -1016,7 +1021,7 @@ def _backward_tiled(F, lists, counts, rays_t, pix_t, tbound, outs, g_tiled,
     if "constrows" in _ABLATE:  # perf bisection: scatter with rows that
         # do not depend on the backward kernel (dFg still computed+read)
         dFg = jnp.ones_like(dFg) + jnp.sum(dFg) * 1e-30
-    if b * n_plus1 * 16 * 4 <= 80 * 2 ** 20:
+    if b * n_plus1 * 128 * 4 <= 80 * 2 ** 20:  # lane-padded, see above
         # in-kernel RMW scatter over a VMEM-resident [B*(N+1), 16] pool
         # (see _scatter_rows_kernel); all views share one kernel grid
         tps = max(1, scatter_tps)
