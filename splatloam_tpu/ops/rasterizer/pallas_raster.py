@@ -981,13 +981,15 @@ def _backward_tiled(F, lists, counts, rays_t, pix_t, tbound, outs, g_tiled,
     if Fg is None:
         Fg = _gather_features(F, lists)         # [B*T, 16, K]
     counts = counts.reshape(b * n_tiles)
-    # VMEM residency guard for the whole-pool RMW outputs: the [R, 16]
-    # f32 window is laid out at the native (8, 128) tile, so its true
-    # VMEM cost is R x 128 lanes x 4 B — 8x the logical bytes (a
-    # [400004, 16] pool compiles to a 204 MB window; measured r5 OOM).
-    pool_vmem = b * n_plus1 * 128 * 4
+    # VMEM residency guard for the whole-pool RMW outputs.  Empirical
+    # v5e bounds (round 5): a [200002, 16] pool window compiles and
+    # runs; [400004, 16] OOMs at compile with a 204 MB "output window"
+    # allocation (the compiler reports R x 128 lanes x 4 B for the
+    # single-buffered window at that size).  Gate on rows, between the
+    # two measured points.
+    pool_rows_ok = b * n_plus1 <= 220_000
     if (fused_scatter and "fakescatter" not in _ABLATE
-            and pool_vmem <= 80 * 2 ** 20):
+            and pool_rows_ok):
         dF = _bwd_call_fused(
             Fg, counts,
             rays_t.reshape(b * n_tiles, p_tile, 3),
@@ -1021,7 +1023,7 @@ def _backward_tiled(F, lists, counts, rays_t, pix_t, tbound, outs, g_tiled,
     if "constrows" in _ABLATE:  # perf bisection: scatter with rows that
         # do not depend on the backward kernel (dFg still computed+read)
         dFg = jnp.ones_like(dFg) + jnp.sum(dFg) * 1e-30
-    if b * n_plus1 * 128 * 4 <= 80 * 2 ** 20:  # lane-padded, see above
+    if b * n_plus1 <= 220_000:  # empirical VMEM bound, see above
         # in-kernel RMW scatter over a VMEM-resident [B*(N+1), 16] pool
         # (see _scatter_rows_kernel); all views share one kernel grid
         tps = max(1, scatter_tps)
