@@ -714,6 +714,9 @@ _RS_TRUNC = float(_os.environ.get("RS_TRUNC", "0"))
 # Env-overridable at trace time for the perf lab (tools/scatter_lab.py).
 _RS_GROUP = int(_os.environ.get("RS_GROUP", "128"))
 _RS_GPS = int(_os.environ.get("RS_GPS", "64"))
+assert _RS_GROUP >= 128 and _RS_GROUP % 128 == 0, \
+    f"RS_GROUP {_RS_GROUP}: the ranksum kernel's rank blocks are " \
+    "128-lane rows, so the group (write window) floor is 128"
 
 
 def _ranksum_kernel(w_ref, ranks_ref, rows_ref, dF_ref, *, group, gps):
