@@ -112,7 +112,16 @@ def _run_stage(name, n_surfels, iters, rebin, params, final):
     args = make_scene(rng, n_surfels)
     block = _build_block(args, params, rebin)
 
+    import jax.numpy as jnp
+
+    # force a scalar D2H BEFORE timing: the axon relay dispatches
+    # asynchronously until the first D2H and the transition mid-stage
+    # inflates early measurements 2x (docs/PERF.md measurement gotchas;
+    # observed 30 vs 13.6 ms/iter on the identical program)
+    float(jnp.zeros(()) + 1.0)
     g = block(*args[:4])           # compile + warm
+    jax.block_until_ready(g)
+    g = block(*args[:4])           # second warm call post-D2H
     jax.block_until_ready(g)
     t0 = time.perf_counter()
     for _ in range(iters):
@@ -251,17 +260,18 @@ def run_throughput(budget_s):
         _run_stage("cpu-fallback-2k", 2_000, 2, 1, micro, final=True)
         return
 
-    # Stage 1: small pool, rebin=1 — one small program, lands a number
-    # fast.  rmw reduction: at rebin 1 the ranksum plan's argsort runs
-    # every iteration and cannot amortize.
+    # Stage 1: small pool — one small program, lands a number fast.
+    # rmw reduction + rebin 2: the mapper never runs rebin 1, and at
+    # short rebin the ranksum plan's argsort cannot amortize (measured:
+    # rmw 13.6 vs ranksum 19.9 ms/iter at rebin 1 — docs/PERF.md).
     small = params._replace(scatter="rmw", **adaptive_geometry(20_000))
     try:
-        _run_stage("quick-20k", 20_000, 5, 1, small, final=False)
+        _run_stage("quick-20k", 20_000, 4, 2, small, final=False)
     except Exception as e:  # noqa: BLE001 — one retry for relay flakes
         emit({"metric": "bench_note", "value": 0, "unit": "",
               "note": f"quick stage failed once: {type(e).__name__}: "
                       f"{e}; retrying"})
-        _run_stage("quick-20k", 20_000, 5, 1, small, final=False)
+        _run_stage("quick-20k", 20_000, 4, 2, small, final=False)
 
     # Stage 2: hardware parity rider BEFORE the big compile, so every
     # captured run carries a machine-readable parity line even when the

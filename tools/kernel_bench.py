@@ -81,10 +81,10 @@ def main():
     ap.add_argument("--n", type=int, default=100_000)
     ap.add_argument("--h", type=int, default=64)
     ap.add_argument("--w", type=int, default=1024)
-    ap.add_argument("--chunk", type=int, default=256)
-    ap.add_argument("--tile-h", type=int, default=8)
-    ap.add_argument("--tile-w", type=int, default=32)
-    ap.add_argument("--cap", type=int, default=3072)
+    ap.add_argument("--chunk", type=int, default=128)
+    ap.add_argument("--tile-h", type=int, default=4)
+    ap.add_argument("--tile-w", type=int, default=16)
+    ap.add_argument("--cap", type=int, default=768)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--median", action="store_true")
     ap.add_argument("--dist", action="store_true")
