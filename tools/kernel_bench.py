@@ -94,6 +94,8 @@ def main():
     ap.add_argument("--views", type=int, default=1,
                     help="batched multi-view rendering (B poses, "
                          "shared surfels, one kernel grid)")
+    ap.add_argument("--scatter", default="rmw",
+                    choices=["rmw", "plan", "ranksum", "fused"])
     ap.add_argument("--mv", action="store_true",
                     help="use the multiview path even at --views 1 "
                          "(comparable B-scaling table rows)")
@@ -112,7 +114,8 @@ def main():
                           chunk=opts.chunk, tile_h=opts.tile_h,
                           tile_w=opts.tile_w, tile_list_capacity=opts.cap,
                           with_median=opts.median, with_dist=opts.dist,
-                          layout=opts.layout, flat_capacity=opts.flat_cap)
+                          layout=opts.layout, flat_capacity=opts.flat_cap,
+                          scatter=opts.scatter)
     rng = np.random.default_rng(0)
     args = bench.make_scene(rng, opts.n, H, W)
 
