@@ -714,6 +714,9 @@ _RS_TRUNC = float(_os.environ.get("RS_TRUNC", "0"))
 # Env-overridable at trace time for the perf lab (tools/scatter_lab.py).
 _RS_GROUP = int(_os.environ.get("RS_GROUP", "128"))
 _RS_GPS = int(_os.environ.get("RS_GPS", "64"))
+# VMEM bound (rows) for batched rank accumulators / RMW pools — see
+# _reduce_rows_with_ranksum and _backward_tiled (empirical, v5e)
+_RS_POOL_ROWS_MAX = 220_000
 assert _RS_GROUP >= 128 and _RS_GROUP % 128 == 0, \
     f"RS_GROUP {_RS_GROUP}: the ranksum kernel's rank blocks are " \
     "128-lane rows, so the group (write window) floor is 128"
@@ -771,6 +774,19 @@ def _reduce_rows_with_ranksum(rows_all, plan: RanksumPlan, n_plus1: int):
     group, gps = _RS_GROUP, _RS_GPS
     b, tk, _ = rows_all.shape
     e_pad = plan.pos.shape[-1]
+    r_alloc0 = binning._ranksum_alloc(n_plus1, group)
+    if b >= 2 and b * r_alloc0 > _RS_POOL_ROWS_MAX:
+        # the kernel's [B, r_alloc, 16] rank accumulator scopes ALL
+        # views' windows in VMEM at the native (8, 128) layout (a
+        # [2, 100136, 16] output = 102 MB > the scoped limit; measured
+        # r5 compile OOM): reduce views sequentially instead — one
+        # launch per view, same exact math
+        return jnp.concatenate([
+            _reduce_rows_with_ranksum(
+                rows_all[i:i + 1],
+                jax.tree_util.tree_map(lambda x, i=i: x[i:i + 1], plan),
+                n_plus1)
+            for i in range(b)])
     n_steps = e_pad // (gps * group)
     boff = (jnp.arange(b, dtype=jnp.int32) * tk)[:, None]
     pos = (plan.pos + boff).reshape(-1)
