@@ -714,9 +714,12 @@ _RS_TRUNC = float(_os.environ.get("RS_TRUNC", "0"))
 # Env-overridable at trace time for the perf lab (tools/scatter_lab.py).
 _RS_GROUP = int(_os.environ.get("RS_GROUP", "128"))
 _RS_GPS = int(_os.environ.get("RS_GPS", "64"))
-# VMEM bound (rows) for batched rank accumulators / RMW pools — see
-# _reduce_rows_with_ranksum and _backward_tiled (empirical, v5e)
-_RS_POOL_ROWS_MAX = 220_000
+# VMEM row bounds (empirical, v5e).  The RMW pool ([R, 16] revisited
+# output) runs at 200k rows and compile-OOMs at 400k; the ranksum rank
+# accumulator OOMs already at 2 x 100136 rows (107.3 MB scoped vs the
+# 101.5 MB limit — its grid scopes every view's window concurrently),
+# while one 100136-row view (51 MB) runs all day.
+_RS_POOL_ROWS_MAX = 110_000
 assert _RS_GROUP >= 128 and _RS_GROUP % 128 == 0, \
     f"RS_GROUP {_RS_GROUP}: the ranksum kernel's rank blocks are " \
     "128-lane rows, so the group (write window) floor is 128"
