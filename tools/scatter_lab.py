@@ -139,6 +139,8 @@ def main():
         layout, scatter = "bucketed", "fused"
     elif opts.mode == "bucketedrs":   # two-capacity buckets + ranksum
         layout, scatter = "bucketed", "ranksum"
+    elif opts.mode == "flat":         # compacted slot pool + flat RMW
+        layout = "flat"
     params = RenderParams(height=bench.H, width=bench.W, backend="pallas",
                           chunk=opts.chunk, tile_h=opts.tile_h,
                           tile_w=opts.tile_w,
