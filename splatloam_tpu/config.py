@@ -248,8 +248,8 @@ class ComputeConfig:
     tile_w: int = 16
     # Per-tile surfel list capacity (depth-ordered; overflow drops farthest).
     tile_list_capacity: int = 768
-    # Chunk of surfels composited per kernel step.
-    chunk: int = 128
+    # Chunk of surfels composited per kernel step (round-5 sweep: 256).
+    chunk: int = 256
     # Max anisotropic splat radius in multiples of sigma used for tile binning.
     sigma_cut: float = 3.0
     # Rebuild tile lists every N mapping iterations (1 = exact per-step

@@ -84,7 +84,9 @@ def adaptive_geometry(n_surfels: int) -> dict:
         geo = dict(tile_h=8, tile_w=32, chunk=256,
                    tile_list_capacity=1024)
     else:
-        geo = dict(tile_h=4, tile_w=16, chunk=128,
+        # chunk 256 at 4x16: 14.63 vs 15.38 ms/iter at c128 (round-5
+        # chunk sweep: c256 < c384 < c128 < c768 — docs/PERF.md)
+        geo = dict(tile_h=4, tile_w=16, chunk=256,
                    tile_list_capacity=768)
     return geo
 
